@@ -1,0 +1,339 @@
+"""The batched ADMM solve core — one jitted program for the whole solve.
+
+Re-derivation of the reference hot loop (osqp.c:288-654, auxil.c:161-225)
+as a ``lax.while_loop`` over a natively *batched* state: every leaf
+carries a leading instance axis B, and per-instance termination freezes
+instances via masked selects while the global loop keeps a scalar
+iteration counter ``k``.  Because ``k`` is a scalar (the loop is never
+vmapped), the periodic events — termination checks every
+``check_termination`` iterations (osqp.c:411-449) and rho adaptation
+every ``adaptive_rho_interval`` iterations (osqp.c:456-529) — compile to
+real ``lax.cond`` branches: the expensive residual/refactorization work
+only executes at those iterations, exactly like the reference.
+
+The reference's pointer-swap workspace (auxil.c:147-153) becomes loop
+carry; the split xz_tilde vector becomes a tuple from the linsys backend.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import linsys as linsys_registry
+from .constants import (
+    MIN_SCALING,
+    OSQP_DUAL_INFEASIBLE,
+    OSQP_DUAL_INFEASIBLE_INACCURATE,
+    OSQP_INFTY,
+    OSQP_MAX_ITER_REACHED,
+    OSQP_NON_CVX,
+    OSQP_PRIMAL_INFEASIBLE,
+    OSQP_PRIMAL_INFEASIBLE_INACCURATE,
+    OSQP_SOLVED,
+    OSQP_SOLVED_INACCURATE,
+    RHO_EQ_OVER_RHO_INEQ,
+    RHO_MAX,
+    RHO_MIN,
+    RHO_TOL,
+)
+from .linalg import bwhere, quad_form, vec_dot
+from .termination import check_termination, compute_rho_estimate
+from .types import (
+    DynSettings,
+    InfoState,
+    Iterates,
+    QPData,
+    RhoState,
+    ScalingData,
+    SolveResult,
+    StaticConfig,
+)
+
+
+# ---------------------------------------------------------------------------
+# rho vector classification (auxil.c:76-142)
+# ---------------------------------------------------------------------------
+def classify_constraints(l, u):
+    """-1 loose / 1 equality / 0 inequality per row (auxil.c:81-95)."""
+    loose = (l < -OSQP_INFTY * MIN_SCALING) & (u > OSQP_INFTY * MIN_SCALING)
+    eq = u - l < RHO_TOL
+    return jnp.where(loose, -1, jnp.where(eq, 1, 0)).astype(jnp.int8)
+
+
+def rho_vec_from_type(constr_type, rho):
+    """rho_vec entries by class (auxil.c:84-95): loose->RHO_MIN,
+    eq->1e3*rho, ineq->rho."""
+    rho_b = rho[:, None]
+    return jnp.where(
+        constr_type == -1,
+        jnp.asarray(RHO_MIN, rho.dtype),
+        jnp.where(constr_type == 1, RHO_EQ_OVER_RHO_INEQ * rho_b, rho_b),
+    )
+
+
+def set_rho_state(data: QPData, rho) -> RhoState:
+    """set_rho_vec (auxil.c:76-98).  ``rho`` is (B,)."""
+    rho = jnp.clip(rho, RHO_MIN, RHO_MAX)
+    ct = classify_constraints(data.l, data.u)
+    rv = rho_vec_from_type(ct, rho)
+    return RhoState(rho=rho, rho_vec=rv, rho_inv_vec=1.0 / rv, constr_type=ct)
+
+
+def update_rho_state(data: QPData, rs: RhoState) -> tuple[RhoState, jax.Array]:
+    """update_rho_vec after a bounds change (auxil.c:100-142).
+
+    Returns the new state and a (B,) bool mask of instances whose
+    constraint classification changed (those need refactorization).
+    """
+    ct = classify_constraints(data.l, data.u)
+    changed = (
+        jnp.any(ct != rs.constr_type, axis=-1)
+        if ct.shape[-1]
+        else jnp.zeros(ct.shape[:-1], bool)
+    )
+    rv = rho_vec_from_type(ct, rs.rho)
+    return (
+        RhoState(rho=rs.rho, rho_vec=rv, rho_inv_vec=1.0 / rv, constr_type=ct),
+        changed,
+    )
+
+
+# ---------------------------------------------------------------------------
+# One ADMM iteration (auxil.c:161-225)
+# ---------------------------------------------------------------------------
+def admm_step(
+    backend, factor, data: QPData, dyn: DynSettings, rs: RhoState, it: Iterates
+):
+    """x~/z~ solve + relaxed x/z/y updates. Returns (Iterates, delta_x, delta_y)."""
+    x_prev, z_prev, y = it.x, it.z, it.y
+    alpha = dyn.alpha
+
+    # compute_rhs (auxil.c:161-175)
+    rhs_x = dyn.sigma * x_prev - data.q
+    rhs_z = z_prev - rs.rho_inv_vec * y
+
+    # update_xz_tilde (auxil.c:177-183) — z~ comes back as A x~
+    x_t, z_t = backend.solve(factor, data.A, rs.rho_vec, rhs_x, rhs_z, x0=x_prev)
+
+    # update_x (auxil.c:185-198)
+    x = alpha * x_t + (1.0 - alpha) * x_prev
+    delta_x = x - x_prev
+
+    # update_z (auxil.c:200-212) + projection (proj.c:4-14)
+    z_relaxed = alpha * z_t + (1.0 - alpha) * z_prev
+    z = jnp.clip(z_relaxed + rs.rho_inv_vec * y, data.l, data.u)
+
+    # update_y (auxil.c:214-225)
+    delta_y = rs.rho_vec * (z_relaxed - z)
+    y = y + delta_y
+
+    return Iterates(x=x, z=z, y=y), delta_x, delta_y
+
+
+# ---------------------------------------------------------------------------
+# Solve core
+# ---------------------------------------------------------------------------
+class _Carry(NamedTuple):
+    k: jax.Array  # scalar int32 — global iteration counter
+    it: Iterates
+    delta_x: jax.Array
+    delta_y: jax.Array
+    rho_state: RhoState
+    factor: Any
+    info: InfoState
+    active: jax.Array  # (B,) bool
+
+
+def _apply_check(cfg, data, scl, dyn, c: _Carry, iter_number, approximate=False):
+    """update_info + check_termination for active instances (osqp.c:420-449)."""
+    tr = check_termination(
+        cfg, data, scl, dyn, c.it.x, c.it.z, c.it.y, c.delta_x, c.delta_y, approximate
+    )
+    newly = c.active & tr.terminated
+    solved_like = (tr.status == OSQP_SOLVED) | (tr.status == OSQP_SOLVED_INACCURATE)
+    info = replace(
+        c.info,
+        iter=jnp.where(c.active, jnp.asarray(iter_number, jnp.int32), c.info.iter),
+        status_val=jnp.where(newly, tr.status, c.info.status_val),
+        obj_val=jnp.where(newly & ~solved_like, tr.obj_at_term, c.info.obj_val),
+        pri_res=jnp.where(c.active, tr.pri_res, c.info.pri_res),
+        dua_res=jnp.where(c.active, tr.dua_res, c.info.dua_res),
+    )
+    # Store certificates for instances terminating with an infeasible status
+    # (check_termination unscales them at that moment, auxil.c:762-781).
+    pinf = newly & (
+        (tr.status == OSQP_PRIMAL_INFEASIBLE)
+        | (tr.status == OSQP_PRIMAL_INFEASIBLE_INACCURATE)
+    )
+    dinf = newly & (
+        (tr.status == OSQP_DUAL_INFEASIBLE)
+        | (tr.status == OSQP_DUAL_INFEASIBLE_INACCURATE)
+    )
+    return c._replace(
+        info=info,
+        active=c.active & ~tr.terminated,
+        delta_x=bwhere(dinf, tr.dx_cert, c.delta_x),
+        delta_y=bwhere(pinf, tr.dy_cert, c.delta_y),
+    )
+
+
+def _apply_rho_adaptation(cfg, backend, data, dyn, c: _Carry) -> _Carry:
+    """adapt_rho (auxil.c:54-74) + osqp_update_rho (osqp.c:1281-1332).
+
+    Updates rho where the estimate is more than adaptive_rho_tolerance x
+    off, rebuilds rho_vec (loose rows stay at RHO_MIN) and refactors.  The
+    batched refactorization is skipped entirely (scalar cond) when no
+    instance needs it.
+    """
+    rs = c.rho_state
+    est = compute_rho_estimate(data, c.it.x, c.it.z, c.it.y, rs.rho)
+    info = replace(
+        c.info, rho_estimate=jnp.where(c.active, est, c.info.rho_estimate)
+    )
+    tol = dyn.adaptive_rho_tolerance
+    upd = c.active & ((est > rs.rho * tol) | (est < rs.rho / tol))
+
+    def select_factor(new, old):
+        # cg factors carry unbatched scalar config leaves; they are
+        # identical across the branch, so pass the new one through.
+        return new if new.ndim == 0 else bwhere(upd, new, old)
+
+    def do_update(args):
+        rs, factor, info = args
+        new_rho = jnp.where(upd, jnp.clip(est, RHO_MIN, RHO_MAX), rs.rho)
+        new_rv = rho_vec_from_type(rs.constr_type, new_rho)
+        new_rs = RhoState(
+            rho=new_rho,
+            rho_vec=new_rv,
+            rho_inv_vec=1.0 / new_rv,
+            constr_type=rs.constr_type,
+        )
+        new_factor = backend.init(
+            data.P,
+            data.A,
+            dyn.sigma,
+            new_rv,
+            cg_max_iter=cfg.cg_max_iter,
+            cg_tol_fraction=cfg.cg_tol_fraction,
+        )
+        factor = jax.tree_util.tree_map(select_factor, new_factor, factor)
+        new_info = replace(info, rho_updates=info.rho_updates + upd.astype(jnp.int32))
+        return new_rs, factor, new_info
+
+    rs, factor, info = jax.lax.cond(
+        jnp.any(upd), do_update, lambda args: args, (rs, c.factor, info)
+    )
+    return c._replace(rho_state=rs, factor=factor, info=info)
+
+
+def solve_core(
+    cfg: StaticConfig,
+    data: QPData,
+    scl: ScalingData,
+    dyn: DynSettings,
+    rho_state: RhoState,
+    factor: Any,
+    iterates: Iterates,
+) -> SolveResult:
+    """Run the full ADMM solve (osqp.c:354-640, minus host-side concerns).
+
+    Everything is scaled; the caller unscales the solution.  ``iterates``
+    is the warm/cold start.  Returns per-instance statuses, residuals and
+    certificates.
+    """
+    backend = linsys_registry.get(cfg.linsys_solver)
+    B, n = data.q.shape
+    dtype = data.q.dtype
+    check = int(cfg.check_termination)
+    interval = int(cfg.adaptive_rho_interval) if cfg.adaptive_rho else 0
+
+    carry0 = _Carry(
+        k=jnp.asarray(1, jnp.int32),
+        it=iterates,
+        delta_x=jnp.zeros((B, n), dtype),
+        delta_y=jnp.zeros((B, cfg.m), dtype),
+        rho_state=rho_state,
+        factor=factor,
+        info=InfoState.fresh(B, dtype, rho_state.rho),
+        active=jnp.ones((B,), bool),
+    )
+
+    def loop_cond(c: _Carry):
+        return (c.k <= cfg.max_iter) & jnp.any(c.active)
+
+    def loop_body(c: _Carry) -> _Carry:
+        it_new, dx_new, dy_new = admm_step(
+            backend, c.factor, data, dyn, c.rho_state, c.it
+        )
+        c = c._replace(
+            it=bwhere(c.active, it_new, c.it),
+            delta_x=bwhere(c.active, dx_new, c.delta_x),
+            delta_y=bwhere(c.active, dy_new, c.delta_y),
+        )
+
+        if check > 0:
+            c = jax.lax.cond(
+                c.k % check == 0,
+                lambda cc: _apply_check(cfg, data, scl, dyn, cc, cc.k),
+                lambda cc: cc,
+                c,
+            )
+        if interval > 0:
+            c = jax.lax.cond(
+                c.k % interval == 0,
+                lambda cc: _apply_rho_adaptation(cfg, backend, data, dyn, cc),
+                lambda cc: cc,
+                c,
+            )
+        return c._replace(k=c.k + 1)
+
+    c = jax.lax.while_loop(loop_cond, loop_body, carry0)
+
+    # ---- Post-loop (osqp.c:537-589) -------------------------------------
+    # Instances still active hit max_iter.  If the final iteration was not
+    # a check iteration, run update_info + check_termination now
+    # (osqp.c:537-560 with iter-1 == max_iter).
+    if not (check > 0 and cfg.max_iter % check == 0):
+        c = _apply_check(cfg, data, scl, dyn, c, cfg.max_iter, approximate=False)
+
+    # Approximate-tolerance pass for instances still UNSOLVED
+    # (osqp.c:576-581: check_termination(work, 1)).
+    c = _apply_check(cfg, data, scl, dyn, c, cfg.max_iter, approximate=True)
+    info = replace(
+        c.info,
+        status_val=jnp.where(
+            c.active, jnp.asarray(OSQP_MAX_ITER_REACHED, jnp.int32), c.info.status_val
+        ),
+    )
+
+    # Objective for instances that have a solution (osqp.c:564-566,
+    # auxil.c:227-238): obj = (0.5 x'Px + q'x) * cinv.
+    has_sol = (
+        (info.status_val != OSQP_PRIMAL_INFEASIBLE)
+        & (info.status_val != OSQP_PRIMAL_INFEASIBLE_INACCURATE)
+        & (info.status_val != OSQP_DUAL_INFEASIBLE)
+        & (info.status_val != OSQP_DUAL_INFEASIBLE_INACCURATE)
+        & (info.status_val != OSQP_NON_CVX)
+    )
+    obj = scl.cinv * (quad_form(data.P, c.it.x) + vec_dot(data.q, c.it.x))
+    info = replace(
+        info,
+        obj_val=jnp.where(has_sol, obj, info.obj_val),
+        # Final rho estimate (osqp.c:595)
+        rho_estimate=compute_rho_estimate(
+            data, c.it.x, c.it.z, c.it.y, c.rho_state.rho
+        ),
+    )
+
+    return SolveResult(
+        iterates=c.it,
+        info=info,
+        rho_state=c.rho_state,
+        factor=c.factor,
+        delta_x=c.delta_x,
+        delta_y=c.delta_y,
+    )

@@ -1,0 +1,133 @@
+"""Solution polishing — active-set refinement with iterative refinement.
+
+Re-derivation of src/polish.c:19-350 in a *fixed-shape masked* form: the
+reference builds a smaller ``Ared`` containing only the rows guessed
+active (polish.c:19-97); dynamic shapes are jit-hostile, so instead all m
+rows are kept and inactive rows are zero-masked.  The embedded KKT
+
+    K_delta = [P + delta I      (M A)'   ]        M = diag(active mask)
+              [M A              -delta I ]
+
+is block-equivalent to the reference's reduced KKT
+``[P + delta I, Ared'; Ared, -delta I]`` (kkt.c:6-177 with
+param1 = param2 = delta, qdldl_interface.c:261-267): an inactive row i
+contributes the decoupled equation ``-delta nu_i = rhs_i`` with
+``rhs_i = 0``, hence ``nu_i = 0`` — exactly the "not in Ared" behaviour —
+and its zero column leaves x untouched.
+
+Iterative refinement (polish.c:134-181) targets the *unregularized*
+masked KKT ``[P, (MA)'; MA, 0]``; for inactive rows the residual is
+identically zero, so refinement is also exact w.r.t. the reduced system.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .linalg import mat_tvec, mat_vec
+from .linsys import kkt_lu
+from .termination import compute_products, residual_norms
+from .types import DynSettings, QPData, ScalingData, StaticConfig
+
+
+class PolishResult(NamedTuple):
+    success: jax.Array  # (B,) bool — residuals improved (polish.c:301-314)
+    x: jax.Array  # (B, n)
+    z: jax.Array  # (B, m)
+    y: jax.Array  # (B, m)
+    obj_val: jax.Array  # (B,) unscaled
+    pri_res: jax.Array  # (B,)
+    dua_res: jax.Array  # (B,)
+
+
+def polish(
+    cfg: StaticConfig,
+    data: QPData,
+    scl: ScalingData,
+    dyn: DynSettings,
+    x,
+    z,
+    y,
+    admm_pri_res,
+    admm_dua_res,
+    refine_iter: int,
+) -> PolishResult:
+    """Batched polish (polish.c:212-350).  All inputs scaled."""
+    B, n = x.shape
+    m = cfg.m
+    dtype = x.dtype
+
+    # Guess active sets (polish.c:33-49); lower/upper are disjoint since
+    # both would imply u < l.
+    lower = z - data.l < -y
+    upper = data.u - z < y
+    active = lower | upper
+    mask = active.astype(dtype)  # (B, m)
+
+    MA = mask[:, :, None] * data.A
+
+    # K_delta = [P + delta I, (MA)'; MA, -delta I] — reuse the kkt_lu
+    # backend with param1 = param2 = delta (qdldl_interface.c:261-267).
+    delta_vec = jnp.full((B, m), dyn.delta, dtype)
+    K = kkt_lu.form_kkt(data.P, MA, dyn.delta, delta_vec)
+    factor = kkt_lu._lu_factor(K)
+
+    # rhs_red = [-q; l_low, u_upp] masked into fixed shape (polish.c:105-121)
+    rhs_z = mask * jnp.where(lower, data.l, jnp.where(upper, data.u, 0.0))
+    rhs = jnp.concatenate([-data.q, rhs_z], axis=-1)
+
+    sol = kkt_lu.solve_raw(factor, rhs)
+
+    # Iterative refinement against the unregularized KKT (polish.c:134-181)
+    def refine(_, sol):
+        sx, snu = sol[..., :n], sol[..., n:]
+        r_x = -data.q - (mat_vec(data.P, sx) + mat_tvec(MA, snu))
+        r_z = rhs_z - mat_vec(MA, sx)
+        d = kkt_lu.solve_raw(factor, jnp.concatenate([r_x, r_z], axis=-1))
+        return sol + d
+
+    sol = jax.lax.fori_loop(0, refine_iter, refine, sol)
+
+    x_pol = sol[..., :n]
+    nu = sol[..., n:]
+    y_pol = mask * nu  # get_ypol_from_yred (polish.c:188-210)
+    z_pol = mat_vec(data.A, x_pol)  # polish.c:291
+
+    # project_normalcone (proj.c:16-29)
+    zy = z_pol + y_pol
+    z_pol = jnp.clip(zy, data.l, data.u)
+    y_pol = zy - z_pol
+
+    # Residuals + objective at the polished point (update_info w/ polish=1)
+    pr = compute_products(data, x_pol, z_pol, y_pol)
+    pri_res, dua_res = residual_norms(cfg, scl, pr)
+    from .linalg import quad_form, vec_dot
+
+    obj = scl.cinv * (quad_form(data.P, x_pol) + vec_dot(data.q, x_pol))
+
+    # Acceptance test (polish.c:301-314)
+    success = (
+        ((pri_res < admm_pri_res) & (dua_res < admm_dua_res))
+        | ((pri_res < admm_pri_res) & (admm_dua_res < 1e-10))
+        | ((dua_res < admm_dua_res) & (admm_pri_res < 1e-10))
+    )
+    # A numerically failed polish (NaN from a singular reduced KKT) must
+    # degrade gracefully (polish.c:334-339).
+    finite = (
+        jnp.all(jnp.isfinite(x_pol), axis=-1)
+        & (jnp.all(jnp.isfinite(y_pol), axis=-1) if m else jnp.ones((B,), bool))
+    )
+    success = success & finite
+
+    return PolishResult(
+        success=success,
+        x=x_pol,
+        z=z_pol,
+        y=y_pol,
+        obj_val=obj,
+        pri_res=pri_res,
+        dua_res=dua_res,
+    )

@@ -1,0 +1,737 @@
+"""User-facing Solver with the reference OSQP lifecycle and API surface.
+
+Mirrors include/osqp.h:32-421 / src/osqp.c:
+
+* ``setup`` (osqp.c:76-283) — validate, scale, classify rho, factorize
+* ``solve`` (osqp.c:288-654) — the jitted ADMM core + polish + solution
+* ``update_lin_cost`` (765), ``update_bounds`` (797),
+  ``update_lower_bound`` (848), ``update_upper_bound`` (895),
+  ``warm_start{,_x,_y}`` (942/967/989), ``update_P`` (1012),
+  ``update_A`` (1092), ``update_P_A`` (1171), ``update_rho`` (1281),
+  and the settings setters (1339-1617)
+
+State lives on device as batch-of-1 arrays; the batched multi-QP API in
+:mod:`osqp_tpu.batch` shares every jitted code path (so single-QP and
+batched solves are bit-identical per instance).
+
+In-place mutation of the C workspace becomes functional replacement of
+pytrees; "EMBEDDED mode means no allocation after setup" in the
+reference becomes "trace once, then pure compute" under jit — the same
+contract enforced by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import replace as _rp
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as con
+from . import linsys as linsys_registry
+from .admm import set_rho_state, solve_core, update_rho_state
+from .constants import ErrorCode, OSQPError
+from .polish import polish as polish_fn
+from .scaling import scale_data, unscale_solution
+from .sparse import clamp_bounds, triu_to_full, validate_problem
+from .types import (
+    DynSettings,
+    Iterates,
+    QPData,
+    ScalingData,
+    StaticConfig,
+)
+
+
+# ---------------------------------------------------------------------------
+# Settings (types.h:139-176 + defaults constants.h:58-121)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class Settings:
+    rho: float = con.RHO
+    sigma: float = con.SIGMA
+    scaling: int = con.SCALING
+    adaptive_rho: bool = bool(con.ADAPTIVE_RHO)
+    adaptive_rho_interval: int = con.ADAPTIVE_RHO_INTERVAL
+    adaptive_rho_tolerance: float = con.ADAPTIVE_RHO_TOLERANCE
+    adaptive_rho_fraction: float = con.ADAPTIVE_RHO_FRACTION
+    max_iter: int = con.MAX_ITER
+    eps_abs: float = con.EPS_ABS
+    eps_rel: float = con.EPS_REL
+    eps_prim_inf: float = con.EPS_PRIM_INF
+    eps_dual_inf: float = con.EPS_DUAL_INF
+    alpha: float = con.ALPHA
+    linsys_solver: str = "dense_chol"
+    delta: float = con.DELTA
+    polish: bool = bool(con.POLISH)
+    polish_refine_iter: int = con.POLISH_REFINE_ITER
+    verbose: bool = bool(con.VERBOSE)
+    scaled_termination: bool = bool(con.SCALED_TERMINATION)
+    check_termination: int = con.CHECK_TERMINATION
+    warm_start: bool = bool(con.WARM_START)
+    time_limit: float = con.TIME_LIMIT
+    dtype: Any = None  # None -> float64 if jax x64 enabled else float32
+    # Indirect backend knobs
+    cg_max_iter: int = 0
+    cg_tol_fraction: float = 1e-7
+
+
+def validate_settings(s: Settings) -> None:
+    """validate_settings (auxil.c:893-1065), identical rules."""
+    err = lambda msg: OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, msg)
+    if s.scaling < 0:
+        raise err("scaling must be nonnegative")
+    if s.adaptive_rho not in (0, 1, True, False):
+        raise err("adaptive_rho must be either 0 or 1")
+    if s.adaptive_rho_interval < 0:
+        raise err("adaptive_rho_interval must be nonnegative")
+    if s.adaptive_rho_fraction <= 0:
+        raise err("adaptive_rho_fraction must be positive")
+    if s.adaptive_rho_tolerance < 1.0:
+        raise err("adaptive_rho_tolerance must be >= 1")
+    if s.polish_refine_iter < 0:
+        raise err("polish_refine_iter must be nonnegative")
+    if s.rho <= 0.0:
+        raise err("rho must be positive")
+    if s.sigma <= 0.0:
+        raise err("sigma must be positive")
+    if s.delta <= 0.0:
+        raise err("delta must be positive")
+    if s.max_iter <= 0:
+        raise err("max_iter must be positive")
+    if s.eps_abs < 0.0:
+        raise err("eps_abs must be nonnegative")
+    if s.eps_rel < 0.0:
+        raise err("eps_rel must be nonnegative")
+    if s.eps_rel == 0.0 and s.eps_abs == 0.0:
+        raise err("at least one of eps_abs and eps_rel must be positive")
+    if s.eps_prim_inf <= 0.0:
+        raise err("eps_prim_inf must be positive")
+    if s.eps_dual_inf <= 0.0:
+        raise err("eps_dual_inf must be positive")
+    if not (0.0 < s.alpha < 2.0):
+        raise err("alpha must be strictly between 0 and 2")
+    try:
+        linsys_registry.get(s.linsys_solver)
+    except KeyError:
+        raise err("linsys_solver not recognized") from None
+    if s.verbose not in (0, 1, True, False):
+        raise err("verbose must be either 0 or 1")
+    if s.scaled_termination not in (0, 1, True, False):
+        raise err("scaled_termination must be either 0 or 1")
+    if s.check_termination < 0:
+        raise err("check_termination must be nonnegative")
+    if s.warm_start not in (0, 1, True, False):
+        raise err("warm_start must be either 0 or 1")
+    if s.time_limit < 0:
+        raise err("time_limit must be nonnegative")
+
+
+def _resolve_rho_interval(s: Settings) -> int:
+    """Deterministic adaptive-rho interval (constants.h:111-112,
+    osqp.c:487-498).  The reference's PROFILING-time-based auto interval
+    (osqp.c:456-485) is intentionally replaced by this deterministic,
+    jit-friendly fallback."""
+    if not s.adaptive_rho:
+        return 0
+    if s.adaptive_rho_interval:
+        return int(s.adaptive_rho_interval)
+    if s.check_termination:
+        return con.ADAPTIVE_RHO_MULTIPLE_TERMINATION * int(s.check_termination)
+    return con.ADAPTIVE_RHO_FIXED
+
+
+# ---------------------------------------------------------------------------
+# Info / results (types.h:66-91)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class Info:
+    iter: int = 0
+    status: str = "unsolved"
+    status_val: int = con.OSQP_UNSOLVED
+    status_polish: int = 0
+    obj_val: float = float("nan")
+    pri_res: float = float("nan")
+    dua_res: float = float("nan")
+    setup_time: float = 0.0
+    solve_time: float = 0.0
+    update_time: float = 0.0
+    polish_time: float = 0.0
+    run_time: float = 0.0
+    rho_updates: int = 0
+    rho_estimate: float = con.RHO
+
+
+@dataclasses.dataclass
+class Results:
+    x: np.ndarray
+    y: np.ndarray
+    prim_inf_cert: np.ndarray | None
+    dual_inf_cert: np.ndarray | None
+    info: Info
+
+
+# ---------------------------------------------------------------------------
+# Jitted device-side stages (shared with the batched API)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("cfg", "scaling_iters"))
+def _device_setup(cfg: StaticConfig, scaling_iters: int, P, q, A, l, u, rho, dyn):
+    """Scale + classify rho + factorize + convexity check (osqp.c:192-215)."""
+    data = QPData(P=P, q=q, A=A, l=l, u=u)
+    B, n = q.shape
+    if scaling_iters > 0:
+        scaled, scl = scale_data(data, scaling_iters)
+    else:
+        scaled, scl = data, ScalingData.identity(B, n, cfg.m, q.dtype)
+    rho_state = set_rho_state(scaled, rho)
+    backend = linsys_registry.get(cfg.linsys_solver)
+    factor = backend.init(
+        scaled.P,
+        scaled.A,
+        dyn.sigma,
+        rho_state.rho_vec,
+        cg_max_iter=cfg.cg_max_iter,
+        cg_tol_fraction=cfg.cg_tol_fraction,
+    )
+    # Convexity check: the KKT is quasi-definite iff P + sigma I is PD —
+    # the same condition QDLDL verifies by counting positive D entries
+    # (qdldl_interface.c:93-99).
+    Lc = jnp.linalg.cholesky(scaled.P + dyn.sigma * jnp.eye(n, dtype=q.dtype))
+    cvx_ok = jnp.all(jnp.isfinite(Lc), axis=(-2, -1))
+    return scaled, scl, rho_state, factor, cvx_ok
+
+
+_device_solve = jax.jit(solve_core, static_argnames=("cfg",))
+
+
+@partial(jax.jit, static_argnames=("cfg", "refine_iter"))
+def _device_polish(cfg, refine_iter, data, scl, dyn, x, z, y, pri_res, dua_res):
+    return polish_fn(cfg, data, scl, dyn, x, z, y, pri_res, dua_res, refine_iter)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _device_refactor(cfg: StaticConfig, P, A, sigma, rho_vec):
+    backend = linsys_registry.get(cfg.linsys_solver)
+    return backend.init(
+        P,
+        A,
+        sigma,
+        rho_vec,
+        cg_max_iter=cfg.cg_max_iter,
+        cg_tol_fraction=cfg.cg_tol_fraction,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+class Solver:
+    """Single-problem OSQP-compatible solver (batch of 1 on device)."""
+
+    def __init__(self, P=None, q=None, A=None, l=None, u=None, **settings):
+        self._is_setup = False
+        if P is not None or q is not None:
+            self.setup(P=P, q=q, A=A, l=l, u=u, **settings)
+
+    # -- lifecycle ---------------------------------------------------------
+    def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
+        """osqp_setup (osqp.c:76-283)."""
+        t0 = time.perf_counter()
+        unknown = set(settings) - {f.name for f in dataclasses.fields(Settings)}
+        if unknown:
+            raise OSQPError(
+                ErrorCode.SETTINGS_VALIDATION_ERROR,
+                f"unknown settings: {sorted(unknown)}",
+            )
+        self.settings = Settings(**settings)
+        validate_settings(self.settings)
+
+        # Canonical unscaled host data (float64 numpy / scipy CSC).
+        Pu, qv, Ac, lv, uv, n, m = validate_problem(P, q, A, l, u)
+        self._Pu, self._Ac = Pu, Ac
+        self._q, self._l, self._u = qv, lv, uv
+        self.n, self.m = n, m
+
+        if self.settings.dtype is not None:
+            dt = jnp.dtype(self.settings.dtype)
+        else:
+            dt = jnp.dtype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        self._dtype = dt
+
+        self._cfg = StaticConfig(
+            n=n,
+            m=m,
+            max_iter=int(self.settings.max_iter),
+            check_termination=int(self.settings.check_termination),
+            adaptive_rho=bool(self.settings.adaptive_rho),
+            adaptive_rho_interval=_resolve_rho_interval(self.settings),
+            scaled_termination=bool(self.settings.scaled_termination),
+            linsys_solver=str(self.settings.linsys_solver),
+            dtype=str(dt),
+            cg_max_iter=int(self.settings.cg_max_iter),
+            cg_tol_fraction=float(self.settings.cg_tol_fraction),
+        )
+        self._dyn = DynSettings.make(
+            dt,
+            sigma=self.settings.sigma,
+            alpha=self.settings.alpha,
+            eps_abs=self.settings.eps_abs,
+            eps_rel=self.settings.eps_rel,
+            eps_prim_inf=self.settings.eps_prim_inf,
+            eps_dual_inf=self.settings.eps_dual_inf,
+            adaptive_rho_tolerance=self.settings.adaptive_rho_tolerance,
+            delta=self.settings.delta,
+        )
+
+        self._push_data_and_factor(rho=self.settings.rho)
+
+        self.iterates = Iterates.cold(1, n, m, dt)
+        self.info = Info(rho_estimate=float(self.settings.rho))
+        self._first_run = True
+        self._clear_update_time = False
+        self.info.setup_time = time.perf_counter() - t0
+        self._is_setup = True
+        if self.settings.verbose:
+            from .utils.printing import print_setup_header
+
+            print_setup_header(self)
+        return self
+
+    def _push_data_and_factor(self, rho: float):
+        """(Re)upload unscaled data, rescale, classify rho, refactor —
+        the tail of osqp_setup and of osqp_update_P/A (osqp.c:1048-1075)."""
+        dt = self._dtype
+        P_full = triu_to_full(self._Pu)
+        to = lambda a: jnp.asarray(a, dt)[None]
+        data_unscaled_dev = (
+            to(P_full),
+            to(self._q),
+            to(np.asarray(self._Ac.todense())),
+            to(self._l),
+            to(self._u),
+        )
+        rho_arr = jnp.full((1,), rho, dt)
+        scaled, scl, rho_state, factor, cvx_ok = _device_setup(
+            self._cfg, int(self.settings.scaling), *data_unscaled_dev, rho_arr, self._dyn
+        )
+        if not bool(cvx_ok[0]):
+            from .constants import NonConvexError
+
+            raise NonConvexError(
+                "problem non convex: P + sigma*I is not positive definite"
+            )
+        self.data = scaled
+        self.scaling = scl
+        self.rho_state = rho_state
+        self.factor = factor
+
+    def _require_setup(self):
+        if not self._is_setup:
+            raise OSQPError(ErrorCode.WORKSPACE_NOT_INIT_ERROR)
+
+    # -- solve --------------------------------------------------------------
+    def solve(self) -> Results:
+        """osqp_solve (osqp.c:288-654)."""
+        self._require_setup()
+        if self._clear_update_time:
+            self.info.update_time = 0.0
+        t0 = time.perf_counter()
+
+        iterates = self.iterates
+        if not self.settings.warm_start:
+            iterates = Iterates.cold(1, self.n, self.m, self._dtype)
+
+        result = _device_solve(
+            self._cfg,
+            self.data,
+            self.scaling,
+            self._dyn,
+            self.rho_state,
+            self.factor,
+            iterates,
+        )
+        jax.block_until_ready(result.info.status_val)
+        self.info.solve_time = time.perf_counter() - t0
+
+        # Persist adapted rho/factor + final iterates for warm starting
+        self.rho_state = result.rho_state
+        self.factor = result.factor
+        self.iterates = result.iterates
+
+        info = result.info
+        status_val = int(info.status_val[0])
+        self.info.iter = int(info.iter[0])
+        self.info.status_val = status_val
+        self.info.status = con.STATUS_MESSAGE.get(status_val, "unknown")
+        self.info.obj_val = float(info.obj_val[0])
+        self.info.pri_res = float(info.pri_res[0])
+        self.info.dua_res = float(info.dua_res[0])
+        self.info.rho_updates = int(info.rho_updates[0])
+        self.info.rho_estimate = float(info.rho_estimate[0])
+        self.info.status_polish = 0
+        self.info.polish_time = 0.0
+
+        # ---- polish (osqp.c:604-608) ------------------------------------
+        if self.settings.polish and status_val == con.OSQP_SOLVED:
+            tp = time.perf_counter()
+            pol = _device_polish(
+                self._cfg,
+                int(self.settings.polish_refine_iter),
+                self.data,
+                self.scaling,
+                self._dyn,
+                result.iterates.x,
+                result.iterates.z,
+                result.iterates.y,
+                info.pri_res,
+                info.dua_res,
+            )
+            jax.block_until_ready(pol.success)
+            self.info.polish_time = time.perf_counter() - tp
+            if bool(pol.success[0]):
+                self.info.status_polish = 1
+                self.info.obj_val = float(pol.obj_val[0])
+                self.info.pri_res = float(pol.pri_res[0])
+                self.info.dua_res = float(pol.dua_res[0])
+                # Write back for warm starting (polish.c:323-327)
+                self.iterates = Iterates(x=pol.x, z=pol.z, y=pol.y)
+            else:
+                self.info.status_polish = -1
+
+        # ---- store_solution (auxil.c:524-562) -----------------------------
+        has_sol = status_val not in (
+            con.OSQP_PRIMAL_INFEASIBLE,
+            con.OSQP_PRIMAL_INFEASIBLE_INACCURATE,
+            con.OSQP_DUAL_INFEASIBLE,
+            con.OSQP_DUAL_INFEASIBLE_INACCURATE,
+            con.OSQP_NON_CVX,
+        )
+        prim_cert = dual_cert = None
+        if has_sol:
+            x_u, y_u = unscale_solution(
+                self.iterates.x, self.iterates.y, self.scaling
+            )
+            x_out = np.asarray(x_u[0], np.float64)
+            y_out = np.asarray(y_u[0], np.float64)
+        else:
+            x_out = np.full(self.n, np.nan)
+            y_out = np.full(self.m, np.nan)
+            if status_val in (
+                con.OSQP_PRIMAL_INFEASIBLE,
+                con.OSQP_PRIMAL_INFEASIBLE_INACCURATE,
+            ):
+                dy = np.asarray(result.delta_y[0], np.float64)
+                nrm = np.max(np.abs(dy)) if dy.size else 0.0
+                prim_cert = dy / nrm if nrm > 0 else dy
+            if status_val in (
+                con.OSQP_DUAL_INFEASIBLE,
+                con.OSQP_DUAL_INFEASIBLE_INACCURATE,
+            ):
+                dx = np.asarray(result.delta_x[0], np.float64)
+                nrm = np.max(np.abs(dx))
+                dual_cert = dx / nrm if nrm > 0 else dx
+            # Cold start iterates for the next run (auxil.c:559-561)
+            self.iterates = Iterates.cold(1, self.n, self.m, self._dtype)
+
+        # ---- run_time composition (osqp.c:610-628) ------------------------
+        if self._first_run:
+            self.info.run_time = (
+                self.info.setup_time + self.info.solve_time + self.info.polish_time
+            )
+            self._first_run = False
+        else:
+            self.info.run_time = (
+                self.info.update_time + self.info.solve_time + self.info.polish_time
+            )
+        self._clear_update_time = True
+
+        if self.settings.verbose:
+            from .utils.printing import print_summary_footer
+
+            print_summary_footer(self)
+
+        return Results(
+            x=x_out,
+            y=y_out,
+            prim_inf_cert=prim_cert,
+            dual_inf_cert=dual_cert,
+            info=dataclasses.replace(self.info),
+        )
+
+    # -- warm start (osqp.c:942-1007) ---------------------------------------
+    def warm_start(self, x=None, y=None):
+        self._require_setup()
+        if x is None and y is None:
+            raise OSQPError(ErrorCode.DATA_VALIDATION_ERROR, "nothing to warm start")
+        if not self.settings.warm_start:
+            self.settings.warm_start = True
+        it = self.iterates
+        if x is not None:
+            x = np.asarray(x, np.float64).reshape(self.n)
+            xs = jnp.asarray(x, self._dtype)[None] * self.scaling.Dinv
+            zs = jnp.einsum("bmn,bn->bm", self.data.A, xs)
+            it = Iterates(x=xs, z=zs, y=it.y)
+        if y is not None:
+            y = np.asarray(y, np.float64).reshape(self.m)
+            ys = (
+                jnp.asarray(y, self._dtype)[None]
+                * self.scaling.Einv
+                * self.scaling.c[:, None]
+            )
+            it = Iterates(x=it.x, z=it.z, y=ys)
+        self.iterates = it
+
+    # -- data updates ---------------------------------------------------------
+    def _start_update_timer(self):
+        if self._clear_update_time:
+            self._clear_update_time = False
+            self.info.update_time = 0.0
+        return time.perf_counter()
+
+    def _reset_info(self):
+        """reset_info (auxil.c:632-649)."""
+        self.info.status_val = con.OSQP_UNSOLVED
+        self.info.status = con.STATUS_MESSAGE[con.OSQP_UNSOLVED]
+        self.info.solve_time = 0.0
+        self.info.polish_time = 0.0
+        self.info.rho_updates = 0
+
+    def update_lin_cost(self, q_new):
+        """osqp_update_lin_cost (osqp.c:765-795): q_scaled = c * D * q_new."""
+        self._require_setup()
+        t0 = self._start_update_timer()
+        q_new = np.asarray(q_new, np.float64).reshape(self.n)
+        self._q = q_new
+        qs = (
+            jnp.asarray(q_new, self._dtype)[None]
+            * self.scaling.D
+            * self.scaling.c[:, None]
+        )
+        self.data = _rp(self.data, q=qs)
+        self._reset_info()
+        self.info.update_time += time.perf_counter() - t0
+
+    def update_bounds(self, l=None, u=None):
+        """osqp_update_bounds / _lower_bound / _upper_bound
+        (osqp.c:797-940)."""
+        self._require_setup()
+        t0 = self._start_update_timer()
+        l_new = clamp_bounds(l).reshape(self.m) if l is not None else self._l
+        u_new = clamp_bounds(u).reshape(self.m) if u is not None else self._u
+        if np.any(l_new > u_new):
+            raise OSQPError(
+                ErrorCode.DATA_VALIDATION_ERROR,
+                "lower bound must be lower than or equal to upper bound",
+            )
+        self._l, self._u = l_new, u_new
+        ls = jnp.asarray(l_new, self._dtype)[None] * self.scaling.E
+        us = jnp.asarray(u_new, self._dtype)[None] * self.scaling.E
+        self.data = _rp(self.data, l=ls, u=us)
+        self._reset_info()
+        # update_rho_vec + conditional refactor (auxil.c:100-142)
+        self.rho_state, changed = update_rho_state(self.data, self.rho_state)
+        if bool(jnp.any(changed)):
+            self.factor = _device_refactor(
+                self._cfg,
+                self.data.P,
+                self.data.A,
+                self._dyn.sigma,
+                self.rho_state.rho_vec,
+            )
+        self.info.update_time += time.perf_counter() - t0
+
+    def update_lower_bound(self, l_new):
+        self.update_bounds(l=l_new)
+
+    def update_upper_bound(self, u_new):
+        self.update_bounds(u=u_new)
+
+    def _update_csc_values(self, M, x_new, x_idx, name):
+        """Indexed nnz-value update (osqp.c:1031-1062)."""
+        x_new = np.asarray(x_new, np.float64).ravel()
+        if x_idx is None:
+            if x_new.shape[0] != M.nnz:
+                raise OSQPError(
+                    ErrorCode.DATA_VALIDATION_ERROR,
+                    f"new {name} has wrong number of nonzeros "
+                    f"({x_new.shape[0]} != {M.nnz})",
+                )
+            M.data[:] = x_new
+        else:
+            x_idx = np.asarray(x_idx, np.int64).ravel()
+            if x_idx.shape[0] != x_new.shape[0]:
+                raise OSQPError(
+                    ErrorCode.DATA_VALIDATION_ERROR, "index/value length mismatch"
+                )
+            if x_idx.size and (x_idx.max() >= M.nnz or x_idx.min() < 0):
+                raise OSQPError(
+                    ErrorCode.DATA_VALIDATION_ERROR,
+                    f"index exceeds {name} nonzeros",
+                )
+            M.data[x_idx] = x_new
+
+    def update_P(self, Px=None, Px_idx=None, **_):
+        """osqp_update_P (osqp.c:1012-1090): new values on the triu(P)
+        pattern; rescales from scratch and refactors."""
+        self._require_setup()
+        t0 = self._start_update_timer()
+        self._update_csc_values(self._Pu, Px, Px_idx, "P")
+        self._push_data_and_factor(rho=float(self.rho_state.rho[0]))
+        self._reset_info()
+        self.info.update_time += time.perf_counter() - t0
+
+    def update_A(self, Ax=None, Ax_idx=None, **_):
+        """osqp_update_A (osqp.c:1092-1169)."""
+        self._require_setup()
+        t0 = self._start_update_timer()
+        self._update_csc_values(self._Ac, Ax, Ax_idx, "A")
+        self._push_data_and_factor(rho=float(self.rho_state.rho[0]))
+        self._reset_info()
+        self.info.update_time += time.perf_counter() - t0
+
+    def update_P_A(self, Px=None, Px_idx=None, Ax=None, Ax_idx=None):
+        """osqp_update_P_A (osqp.c:1171-1279)."""
+        self._require_setup()
+        t0 = self._start_update_timer()
+        if Px is not None:
+            self._update_csc_values(self._Pu, Px, Px_idx, "P")
+        if Ax is not None:
+            self._update_csc_values(self._Ac, Ax, Ax_idx, "A")
+        self._push_data_and_factor(rho=float(self.rho_state.rho[0]))
+        self._reset_info()
+        self.info.update_time += time.perf_counter() - t0
+
+    def update_rho(self, rho_new):
+        """osqp_update_rho (osqp.c:1281-1332)."""
+        self._require_setup()
+        if rho_new <= 0:
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "rho must be positive")
+        t0 = self._start_update_timer()
+        rho = float(np.clip(rho_new, con.RHO_MIN, con.RHO_MAX))
+        self.settings.rho = rho
+        rs = self.rho_state
+        from .admm import rho_vec_from_type
+
+        rho_arr = jnp.full((1,), rho, self._dtype)
+        rv = rho_vec_from_type(rs.constr_type, rho_arr)
+        self.rho_state = dataclasses.replace(
+            rs, rho=rho_arr, rho_vec=rv, rho_inv_vec=1.0 / rv
+        )
+        self.factor = _device_refactor(
+            self._cfg,
+            self.data.P,
+            self.data.A,
+            self._dyn.sigma,
+            self.rho_state.rho_vec,
+        )
+        self.info.update_time += time.perf_counter() - t0
+
+    # -- settings setters (osqp.c:1339-1617) ----------------------------------
+    def _set_dyn(self, **kw):
+        self._dyn = dataclasses.replace(
+            self._dyn, **{k: jnp.asarray(v, self._dtype) for k, v in kw.items()}
+        )
+
+    def update_max_iter(self, v):
+        if v <= 0:
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "max_iter must be positive")
+        self.settings.max_iter = int(v)
+        self._cfg = dataclasses.replace(self._cfg, max_iter=int(v))
+
+    def update_eps_abs(self, v):
+        if v < 0:
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "eps_abs must be nonnegative")
+        self.settings.eps_abs = float(v)
+        self._set_dyn(eps_abs=v)
+
+    def update_eps_rel(self, v):
+        if v < 0:
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "eps_rel must be nonnegative")
+        self.settings.eps_rel = float(v)
+        self._set_dyn(eps_rel=v)
+
+    def update_eps_prim_inf(self, v):
+        if v <= 0:
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "eps_prim_inf must be positive")
+        self.settings.eps_prim_inf = float(v)
+        self._set_dyn(eps_prim_inf=v)
+
+    def update_eps_dual_inf(self, v):
+        if v <= 0:
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "eps_dual_inf must be positive")
+        self.settings.eps_dual_inf = float(v)
+        self._set_dyn(eps_dual_inf=v)
+
+    def update_alpha(self, v):
+        if not (0 < v < 2):
+            raise OSQPError(
+                ErrorCode.SETTINGS_VALIDATION_ERROR,
+                "alpha must be strictly between 0 and 2",
+            )
+        self.settings.alpha = float(v)
+        self._set_dyn(alpha=v)
+
+    def update_delta(self, v):
+        if v <= 0:
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "delta must be positive")
+        self.settings.delta = float(v)
+        self._set_dyn(delta=v)
+
+    def update_polish(self, v):
+        if v not in (0, 1, True, False):
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "polish should be either 0 or 1")
+        self.settings.polish = bool(v)
+
+    def update_polish_refine_iter(self, v):
+        if v < 0:
+            raise OSQPError(
+                ErrorCode.SETTINGS_VALIDATION_ERROR,
+                "polish_refine_iter must be nonnegative",
+            )
+        self.settings.polish_refine_iter = int(v)
+
+    def update_verbose(self, v):
+        if v not in (0, 1, True, False):
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "verbose should be either 0 or 1")
+        self.settings.verbose = bool(v)
+
+    def update_scaled_termination(self, v):
+        if v not in (0, 1, True, False):
+            raise OSQPError(
+                ErrorCode.SETTINGS_VALIDATION_ERROR,
+                "scaled_termination should be either 0 or 1",
+            )
+        self.settings.scaled_termination = bool(v)
+        self._cfg = dataclasses.replace(self._cfg, scaled_termination=bool(v))
+
+    def update_check_termination(self, v):
+        if v < 0:
+            raise OSQPError(
+                ErrorCode.SETTINGS_VALIDATION_ERROR,
+                "check_termination should be nonnegative",
+            )
+        self.settings.check_termination = int(v)
+        self._cfg = dataclasses.replace(
+            self._cfg,
+            check_termination=int(v),
+            adaptive_rho_interval=_resolve_rho_interval(self.settings),
+        )
+
+    def update_warm_start(self, v):
+        if v not in (0, 1, True, False):
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "warm_start should be either 0 or 1")
+        self.settings.warm_start = bool(v)
+
+    def update_time_limit(self, v):
+        if v < 0:
+            raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "time_limit must be nonnegative")
+        self.settings.time_limit = float(v)
+
+
+# Reference-style alias: `osqp_tpu.OSQP().setup(...)`
+OSQP = Solver

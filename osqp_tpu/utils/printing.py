@@ -1,0 +1,81 @@
+"""Console reporting with the reference's columns (src/util.c:42-236)."""
+
+from __future__ import annotations
+
+from .. import __version__ as _ver
+from .. import constants as con
+
+
+def print_setup_header(solver) -> None:
+    """print_setup_header (util.c:58-150)."""
+    s = solver.settings
+    nnzP = solver._Pu.nnz
+    nnzA = solver._Ac.nnz
+    print("-" * 59)
+    print(
+        f"           OSQP-TPU v{_ver}  -  Operator Splitting QP Solver\n"
+        "              (TPU-native re-implementation of OSQP)"
+    )
+    print("-" * 59)
+    print("problem:  variables n = %d, constraints m = %d" % (solver.n, solver.m))
+    print("          nnz(P) + nnz(A) = %d" % (nnzP + nnzA))
+    print(
+        "settings: linear system solver = %s (backend)" % s.linsys_solver,
+    )
+    print(
+        f"          eps_abs = {s.eps_abs:.1e}, eps_rel = {s.eps_rel:.1e},\n"
+        f"          eps_prim_inf = {s.eps_prim_inf:.1e}, "
+        f"eps_dual_inf = {s.eps_dual_inf:.1e},\n"
+        f"          rho = {s.rho:.2e} "
+        + ("(adaptive)" if s.adaptive_rho else "")
+        + f",\n          sigma = {s.sigma:.2e}, alpha = {s.alpha:.2f}, "
+        f"max_iter = {s.max_iter}"
+    )
+    if s.check_termination:
+        print(f"          check_termination: on (interval {s.check_termination})")
+    else:
+        print("          check_termination: off")
+    print(f"          scaling: {'on' if s.scaling else 'off'}, "
+          f"scaled_termination: {'on' if s.scaled_termination else 'off'}")
+    print(f"          warm start: {'on' if s.warm_start else 'off'}, "
+          f"polish: {'on' if s.polish else 'off'}, "
+          f"time_limit: {s.time_limit if s.time_limit else 'off'}")
+    print()
+
+
+def print_iter_row(k, obj, pri, dua, rho, t) -> None:
+    """print_summary (util.c:152-175)."""
+    print(f"{k:4d}  {obj: .4e}  {pri:.2e}  {dua:.2e}  {rho:.2e}  {t:.2e}s")
+
+
+def print_iter_header() -> None:
+    """print_header (util.c:42-56)."""
+    print("iter   objective    pri res    dua res    rho        time")
+
+
+def print_summary_footer(solver) -> None:
+    """print_summary + print_polish + print_footer (util.c:152-236)."""
+    info = solver.info
+    print_iter_header()
+    print_iter_row(
+        info.iter, info.obj_val, info.pri_res, info.dua_res,
+        info.rho_estimate, info.solve_time,
+    )
+    if solver.settings.polish and info.status_polish == 1:
+        print(
+            f"plsh  {info.obj_val: .4e}  {info.pri_res:.2e}  "
+            f"{info.dua_res:.2e}   --------   {info.polish_time:.2e}s"
+        )
+    print()
+    print(f"status:               {info.status}")
+    if solver.settings.polish:
+        if info.status_polish == 1:
+            print("solution polish:      successful")
+        elif info.status_polish < 0:
+            print("solution polish:      unsuccessful")
+    print(f"number of iterations: {info.iter}")
+    if info.status_val in (con.OSQP_SOLVED, con.OSQP_SOLVED_INACCURATE):
+        print(f"optimal objective:    {info.obj_val:.4f}")
+    print(f"run time:             {info.run_time:.2e}s")
+    print(f"optimal rho estimate: {info.rho_estimate:.2e}")
+    print()

@@ -1,0 +1,262 @@
+"""basic_qp suite — ports tests/basic_qp/test_basic_qp.h:10-903.
+
+Problem data and golden solutions from
+tests/basic_qp/generate_problem.py:5-27.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import osqp_tpu
+from osqp_tpu import constants as con
+from conftest import TESTS_TOL, assert_allclose
+
+
+def problem():
+    P = sp.triu([[4.0, 1.0], [1.0, 2.0]], format="csc")
+    q = np.ones(2)
+    A = sp.csc_matrix(np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]]))
+    l = np.array([1.0, 0.0, 0.0, -np.inf])
+    u = np.array([1.0, 0.7, 0.7, np.inf])
+    return P, q, A, l, u
+
+
+SOL_X = np.array([0.3, 0.7])
+SOL_Y = np.array([-2.9, 0.0, 0.2, 0.0])
+SOL_OBJ = 1.88
+
+
+def make_solver(**settings):
+    P, q, A, l, u = problem()
+    defaults = dict(
+        max_iter=2000,
+        alpha=1.6,
+        polish=True,
+        scaling=0,
+        verbose=False,
+        warm_start=False,
+    )
+    defaults.update(settings)
+    return osqp_tpu.Solver(P=P, q=q, A=A, l=l, u=u, **defaults)
+
+
+class TestBasicQPSolve:
+    """test_basic_qp_solve (test_basic_qp.h:10-~120)."""
+
+    def test_solve(self):
+        s = make_solver()
+        res = s.solve()
+        assert res.info.status_val == con.OSQP_SOLVED
+        assert_allclose(res.x, SOL_X)
+        assert_allclose(res.y, SOL_Y)
+        assert abs(res.info.obj_val - SOL_OBJ) < TESTS_TOL
+
+    def test_solve_with_scaling(self):
+        s = make_solver(scaling=10)
+        res = s.solve()
+        assert res.info.status_val == con.OSQP_SOLVED
+        assert_allclose(res.x, SOL_X)
+        assert_allclose(res.y, SOL_Y)
+
+    def test_solve_no_polish(self):
+        s = make_solver(polish=False)
+        res = s.solve()
+        assert res.info.status_val == con.OSQP_SOLVED
+        # without polish only eps_abs=eps_rel=1e-3 ADMM accuracy is promised
+        assert_allclose(res.x, SOL_X, tol=5e-3)
+
+    def test_all_backends(self):
+        for backend in ("dense_chol", "kkt_lu", "cg"):
+            s = make_solver(linsys_solver=backend)
+            res = s.solve()
+            assert res.info.status_val == con.OSQP_SOLVED, backend
+            assert_allclose(res.x, SOL_X)
+            assert_allclose(res.y, SOL_Y)
+
+
+class TestSettingsValidation:
+    """Invalid-settings rejections at setup and update time
+    (test_basic_qp.h settings sections)."""
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            dict(rho=0.0),
+            dict(rho=-0.1),
+            dict(sigma=0.0),
+            dict(sigma=-1e-6),
+            dict(alpha=0.0),
+            dict(alpha=2.0),
+            dict(alpha=-1.0),
+            dict(max_iter=0),
+            dict(max_iter=-1),
+            dict(eps_abs=-1e-3),
+            dict(eps_rel=-1e-3),
+            dict(eps_abs=0.0, eps_rel=0.0),
+            dict(eps_prim_inf=0.0),
+            dict(eps_dual_inf=-1e-4),
+            dict(scaling=-1),
+            dict(delta=0.0),
+            dict(polish_refine_iter=-1),
+            dict(check_termination=-1),
+            dict(adaptive_rho_interval=-1),
+            dict(adaptive_rho_tolerance=0.5),
+            dict(linsys_solver="nonexistent"),
+            dict(time_limit=-1.0),
+        ],
+    )
+    def test_setup_rejects(self, bad):
+        with pytest.raises(osqp_tpu.OSQPError):
+            make_solver(**bad)
+
+    def test_update_setters_reject(self):
+        s = make_solver()
+        for call in [
+            lambda: s.update_max_iter(0),
+            lambda: s.update_eps_abs(-1.0),
+            lambda: s.update_eps_rel(-1.0),
+            lambda: s.update_eps_prim_inf(0.0),
+            lambda: s.update_eps_dual_inf(0.0),
+            lambda: s.update_alpha(2.0),
+            lambda: s.update_delta(0.0),
+            lambda: s.update_polish(2),
+            lambda: s.update_polish_refine_iter(-1),
+            lambda: s.update_verbose(2),
+            lambda: s.update_scaled_termination(2),
+            lambda: s.update_check_termination(-1),
+            lambda: s.update_warm_start(5),
+            lambda: s.update_rho(-1.0),
+            lambda: s.update_time_limit(-1.0),
+        ]:
+            with pytest.raises(osqp_tpu.OSQPError):
+                call()
+
+    def test_update_setters_accept(self):
+        s = make_solver()
+        s.update_max_iter(100)
+        s.update_eps_abs(1e-5)
+        s.update_eps_rel(1e-5)
+        s.update_eps_prim_inf(1e-6)
+        s.update_eps_dual_inf(1e-6)
+        s.update_alpha(1.0)
+        s.update_delta(1e-5)
+        s.update_polish(True)
+        s.update_polish_refine_iter(5)
+        s.update_verbose(False)
+        s.update_scaled_termination(True)
+        s.update_check_termination(10)
+        s.update_warm_start(True)
+        s.update_rho(0.5)
+        s.update_time_limit(0.0)
+
+
+class TestDataValidation:
+    """test_basic_qp data-validation section."""
+
+    def test_l_greater_than_u(self):
+        P, q, A, l, u = problem()
+        with pytest.raises(osqp_tpu.OSQPError):
+            osqp_tpu.Solver(P=P, q=q, A=A, l=u + 1.0, u=l, verbose=False)
+
+    def test_update_bounds_crossing(self):
+        s = make_solver()
+        with pytest.raises(osqp_tpu.OSQPError):
+            s.update_bounds(l=np.array([2.0, 2.0, 2.0, 2.0]), u=np.zeros(4))
+
+    def test_update_lower_above_upper(self):
+        s = make_solver()
+        with pytest.raises(osqp_tpu.OSQPError):
+            s.update_lower_bound(np.array([5.0, 5.0, 5.0, 5.0]))
+
+    def test_P_not_square(self):
+        q = np.ones(2)
+        with pytest.raises(osqp_tpu.OSQPError):
+            osqp_tpu.Solver(P=np.ones((2, 3)), q=q, verbose=False)
+
+
+class TestBasicQPBehaviors:
+    def test_check_termination_zero_runs_to_max_iter(self):
+        """check_termination=0 -> run to max_iter yet solution correct
+        (test_basic_qp.h check-termination section)."""
+        s = make_solver(check_termination=0, max_iter=500, polish=False)
+        res = s.solve()
+        assert res.info.iter == 500
+        assert res.info.status_val in (con.OSQP_SOLVED, con.OSQP_SOLVED_INACCURATE)
+        assert_allclose(res.x, SOL_X, tol=1e-3)
+
+    def test_update_rho_iteration_equivalence(self):
+        """update_rho(rho) ==> same iteration count as fresh setup with rho
+        (test_basic_qp.h:755-758)."""
+        P, q, A, l, u = problem()
+        common = dict(
+            max_iter=2000,
+            scaling=0,
+            verbose=False,
+            warm_start=False,
+            adaptive_rho=False,
+            polish=False,
+        )
+        s1 = osqp_tpu.Solver(P=P, q=q, A=A, l=l, u=u, rho=0.7, **common)
+        r1 = s1.solve()
+
+        s2 = osqp_tpu.Solver(P=P, q=q, A=A, l=l, u=u, rho=0.1, **common)
+        s2.update_rho(0.7)
+        r2 = s2.solve()
+        assert r1.info.iter == r2.info.iter
+
+    def test_cold_start_repeatability(self):
+        """Same setup solved twice cold -> identical iteration counts
+        (test_basic_qp.h:885)."""
+        s = make_solver(warm_start=False, polish=False)
+        r1 = s.solve()
+        r2 = s.solve()
+        assert r1.info.iter == r2.info.iter
+
+    def test_warm_start(self):
+        """test_basic_qp_warm_start (test_basic_qp.h:845-903): default
+        settings + check_termination=1; warm start at zero reproduces the
+        cold-start iteration count; warm start at the exact optimum
+        converges in exactly 1 iteration."""
+        P, q, A, l, u = problem()
+        s = osqp_tpu.Solver(
+            P=P, q=q, A=A, l=l, u=u, check_termination=1, verbose=False
+        )
+        r1 = s.solve()
+        iters_cold = r1.info.iter
+
+        s.warm_start(x=np.zeros(2), y=np.zeros(4))
+        r2 = s.solve()
+        assert r2.info.iter == iters_cold
+
+        s.warm_start(x=SOL_X, y=SOL_Y)
+        r3 = s.solve()
+        assert r3.info.iter == 1
+
+    def test_update_q(self):
+        """q update + re-solve (basic_qp update section, golden from a
+        direct KKT solve)."""
+        s = make_solver()
+        q_new = np.array([2.5, 3.2])
+        s.update_lin_cost(q_new)
+        assert s.info.status_val == con.OSQP_UNSOLVED
+        res = s.solve()
+        assert res.info.status_val == con.OSQP_SOLVED
+        # verify KKT optimality directly
+        P, q0, A, l, u = problem()
+        x = res.x
+        grad = np.asarray((P + sp.triu(P, 1).T) @ x) + q_new + np.asarray(A.T @ res.y)
+        assert np.max(np.abs(grad)) < 1e-3
+
+    def test_update_bounds_and_resolve(self):
+        s = make_solver()
+        l_new = np.array([0.8, -3.4, -np.inf, 0.5])
+        u_new = np.array([1.6, 1.0, np.inf, 0.5])
+        s.update_bounds(l=l_new, u=u_new)
+        res = s.solve()
+        assert res.info.status_val == con.OSQP_SOLVED
+        lc = np.clip(l_new, -con.OSQP_INFTY, con.OSQP_INFTY)
+        uc = np.clip(u_new, -con.OSQP_INFTY, con.OSQP_INFTY)
+        P, q, A, _, _ = problem()
+        Ax = np.asarray(A @ res.x)
+        assert np.all(Ax >= lc - 1e-3) and np.all(Ax <= uc + 1e-3)
