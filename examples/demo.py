@@ -4,6 +4,11 @@ minimize    0.5 x' [[4,1],[1,2]] x + [1,1]' x
 subject to  [1,1] <= [[1,1],[1,0],[0,1]] x <= [1,0.7,0.7]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import scipy.sparse as sp
 

@@ -25,7 +25,7 @@ import numpy as np
 from . import constants as con
 from . import linsys as linsys_registry
 from .admm import set_rho_state, solve_core
-from .linalg import bwhere, norm_inf
+from .linalg import bwhere, norm_inf, with_high_precision
 from .polish import polish as polish_fn
 from .scaling import scale_data, unscale_solution
 from .solver import Settings, _resolve_rho_interval, validate_settings
@@ -51,6 +51,7 @@ class BatchSolveResults(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "scaling_iters", "do_polish", "refine_iter"),
 )
+@with_high_precision
 def solve_batch_jit(
     cfg: StaticConfig,
     scaling_iters: int,
@@ -94,7 +95,7 @@ def solve_batch_jit(
     else:
         xs = x0 * scl.Dinv
         ys = y0 * scl.Einv * scl.c[:, None] if m else jnp.zeros((B, m), dtype)
-        zs = jnp.einsum("bmn,bn->bm", scaled.A, xs)
+        zs = jnp.einsum("bmn,bn->bm", scaled.A, xs, precision="highest")
         it = Iterates(x=xs, z=zs, y=ys)
 
     result = solve_core(cfg, scaled, scl, dyn, rho_state, factor, it)

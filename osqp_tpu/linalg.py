@@ -10,8 +10,27 @@ Matrix products use the MXU via batched matvecs expressed as einsum.
 
 from __future__ import annotations
 
+from functools import wraps
+
 import jax
 import jax.numpy as jnp
+
+
+def with_high_precision(fn):
+    """Trace ``fn`` under float32 matmul precision.
+
+    On TPU, XLA lowers float32 dots to bfloat16 passes by default; a QP
+    solver converging to eps = 1e-3..1e-5 needs true f32 accumulation.
+    Wrapping the traced body also covers the dots *inside* XLA's
+    cholesky / triangular_solve / LU expansions.
+    """
+
+    @wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def norm_inf(v: jax.Array) -> jax.Array:
@@ -36,18 +55,18 @@ def mat_vec(A: jax.Array, x: jax.Array) -> jax.Array:
 
     einsum lowers to a batched matmul on the MXU.
     """
-    return jnp.einsum("bmn,bn->bm", A, x, preferred_element_type=x.dtype)
+    return jnp.einsum("bmn,bn->bm", A, x, preferred_element_type=x.dtype, precision="highest")
 
 
 def mat_tvec(A: jax.Array, y: jax.Array) -> jax.Array:
     """Batched A^T @ y:  (B, m, n) x (B, m) -> (B, n)  (lin_alg.c:273-323)."""
-    return jnp.einsum("bmn,bm->bn", A, y, preferred_element_type=y.dtype)
+    return jnp.einsum("bmn,bm->bn", A, y, preferred_element_type=y.dtype, precision="highest")
 
 
 def quad_form(P: jax.Array, x: jax.Array) -> jax.Array:
     """0.5 x' P x with dense symmetric P (lin_alg.c:387-413)."""
     return 0.5 * jnp.einsum(
-        "bn,bnk,bk->b", x, P, x, preferred_element_type=x.dtype
+        "bn,bnk,bk->b", x, P, x, preferred_element_type=x.dtype, precision="highest"
     )
 
 

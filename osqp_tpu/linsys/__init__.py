@@ -28,9 +28,10 @@ with the exact split-solution semantics of the reference: the returned
 
 from __future__ import annotations
 
-from . import cg, dense_chol, kkt_lu
+from . import cg, dense_chol, dense_inv, kkt_lu
 
 _REGISTRY = {
+    "dense_inv": dense_inv,
     "dense_chol": dense_chol,
     "kkt_lu": kkt_lu,
     "cg": cg,
@@ -38,7 +39,7 @@ _REGISTRY = {
 
 # Reference enum names (constants.h:35) map onto the TPU-native backends.
 _ALIASES = {
-    "qdldl": "dense_chol",
+    "qdldl": "dense_inv",
     "mkl pardiso": "kkt_lu",
 }
 

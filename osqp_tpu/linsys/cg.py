@@ -28,7 +28,9 @@ def init(P, A, sigma, rho_vec, cg_max_iter: int = 0, cg_tol_fraction: float = 1e
     m = A.shape[-2]
     diagM = jnp.diagonal(P, axis1=-2, axis2=-1) + sigma
     if m:
-        diagM = diagM + jnp.einsum("bm,bmn->bn", rho_vec, A * A)
+        diagM = diagM + jnp.einsum(
+            "bm,bmn->bn", rho_vec, A * A, precision="highest"
+        )
     max_iter = int(cg_max_iter) if cg_max_iter else (n + m)
     return {
         "P": P,

@@ -34,7 +34,12 @@ def form_schur(P, A, sigma, rho_vec):
     M = P + sigma * eye
     if A.shape[-2]:
         M = M + jnp.einsum(
-            "bmn,bm,bmk->bnk", A, rho_vec, A, preferred_element_type=P.dtype
+            "bmn,bm,bmk->bnk",
+            A,
+            rho_vec,
+            A,
+            preferred_element_type=P.dtype,
+            precision="highest",
         )
     return M
 

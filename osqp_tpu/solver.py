@@ -36,6 +36,7 @@ from . import constants as con
 from . import linsys as linsys_registry
 from .admm import set_rho_state, solve_core, update_rho_state
 from .constants import ErrorCode, OSQPError
+from .linalg import with_high_precision
 from .polish import polish as polish_fn
 from .scaling import scale_data, unscale_solution
 from .sparse import clamp_bounds, triu_to_full, validate_problem
@@ -66,7 +67,7 @@ class Settings:
     eps_prim_inf: float = con.EPS_PRIM_INF
     eps_dual_inf: float = con.EPS_DUAL_INF
     alpha: float = con.ALPHA
-    linsys_solver: str = "dense_chol"
+    linsys_solver: str = "dense_inv"
     delta: float = con.DELTA
     polish: bool = bool(con.POLISH)
     polish_refine_iter: int = con.POLISH_REFINE_ITER
@@ -180,6 +181,7 @@ class Results:
 # Jitted device-side stages (shared with the batched API)
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("cfg", "scaling_iters"))
+@with_high_precision
 def _device_setup(cfg: StaticConfig, scaling_iters: int, P, q, A, l, u, rho, dyn):
     """Scale + classify rho + factorize + convexity check (osqp.c:192-215)."""
     data = QPData(P=P, q=q, A=A, l=l, u=u)
@@ -206,15 +208,17 @@ def _device_setup(cfg: StaticConfig, scaling_iters: int, P, q, A, l, u, rho, dyn
     return scaled, scl, rho_state, factor, cvx_ok
 
 
-_device_solve = jax.jit(solve_core, static_argnames=("cfg",))
+_device_solve = jax.jit(with_high_precision(solve_core), static_argnames=("cfg",))
 
 
 @partial(jax.jit, static_argnames=("cfg", "refine_iter"))
+@with_high_precision
 def _device_polish(cfg, refine_iter, data, scl, dyn, x, z, y, pri_res, dua_res):
     return polish_fn(cfg, data, scl, dyn, x, z, y, pri_res, dua_res, refine_iter)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@with_high_precision
 def _device_refactor(cfg: StaticConfig, P, A, sigma, rho_vec):
     backend = linsys_registry.get(cfg.linsys_solver)
     return backend.init(
@@ -474,7 +478,7 @@ class Solver:
         if x is not None:
             x = np.asarray(x, np.float64).reshape(self.n)
             xs = jnp.asarray(x, self._dtype)[None] * self.scaling.Dinv
-            zs = jnp.einsum("bmn,bn->bm", self.data.A, xs)
+            zs = jnp.einsum("bmn,bn->bm", self.data.A, xs, precision="highest")
             it = Iterates(x=xs, z=zs, y=it.y)
         if y is not None:
             y = np.asarray(y, np.float64).reshape(self.m)

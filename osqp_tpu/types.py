@@ -106,7 +106,7 @@ class StaticConfig:
         con.ADAPTIVE_RHO_MULTIPLE_TERMINATION * con.CHECK_TERMINATION
     )
     scaled_termination: bool = con.SCALED_TERMINATION
-    linsys_solver: str = "dense_chol"
+    linsys_solver: str = "dense_inv"
     dtype: str = "float64"
     # Indirect (CG) backend knobs — play the role MKL Pardiso options play
     # for the second reference backend (pardiso_interface.c:73-228).

@@ -67,7 +67,7 @@ class TestBasicQPSolve:
         assert_allclose(res.x, SOL_X, tol=5e-3)
 
     def test_all_backends(self):
-        for backend in ("dense_chol", "kkt_lu", "cg"):
+        for backend in ("dense_inv", "dense_chol", "kkt_lu", "cg"):
             s = make_solver(linsys_solver=backend)
             res = s.solve()
             assert res.info.status_val == con.OSQP_SOLVED, backend

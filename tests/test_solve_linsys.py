@@ -50,6 +50,10 @@ def _run_backend(name):
     np.testing.assert_allclose(np.asarray(z_t[0]), x_exp[n:], atol=TESTS_TOL)
 
 
+def test_solve_kkt_dense_inv():
+    _run_backend("dense_inv")
+
+
 def test_solve_kkt_dense_chol():
     _run_backend("dense_chol")
 
@@ -65,7 +69,7 @@ def test_solve_kkt_cg():
 def test_backend_aliases():
     from osqp_tpu import linsys
 
-    assert linsys.get("qdldl") is linsys.get("dense_chol")
+    assert linsys.get("qdldl") is linsys.get("dense_inv")
     assert linsys.get("mkl pardiso") is linsys.get("kkt_lu")
 
 
