@@ -230,28 +230,16 @@ def _apply_rho_adaptation(cfg, backend, data, dyn, c: _Carry) -> _Carry:
     return c._replace(rho_state=rs, factor=factor, info=info)
 
 
-def solve_core(
+def init_carry(
     cfg: StaticConfig,
     data: QPData,
-    scl: ScalingData,
-    dyn: DynSettings,
     rho_state: RhoState,
     factor: Any,
     iterates: Iterates,
-) -> SolveResult:
-    """Run the full ADMM solve (osqp.c:354-640, minus host-side concerns).
-
-    Everything is scaled; the caller unscales the solution.  ``iterates``
-    is the warm/cold start.  Returns per-instance statuses, residuals and
-    certificates.
-    """
-    backend = linsys_registry.get(cfg.linsys_solver)
+) -> _Carry:
     B, n = data.q.shape
     dtype = data.q.dtype
-    check = int(cfg.check_termination)
-    interval = int(cfg.adaptive_rho_interval) if cfg.adaptive_rho else 0
-
-    carry0 = _Carry(
+    return _Carry(
         k=jnp.asarray(1, jnp.int32),
         it=iterates,
         delta_x=jnp.zeros((B, n), dtype),
@@ -262,8 +250,28 @@ def solve_core(
         active=jnp.ones((B,), bool),
     )
 
+
+def run_segment(
+    cfg: StaticConfig,
+    data: QPData,
+    scl: ScalingData,
+    dyn: DynSettings,
+    c: _Carry,
+    end_iter,
+) -> _Carry:
+    """Run ADMM iterations while ``k <= end_iter`` and any instance is
+    active.  ``end_iter`` may be traced, so one compiled segment serves
+    arbitrary host-side chunking (time_limit polling, Ctrl-C polling,
+    PRINT_INTERVAL rows) while the global counter ``k`` keeps the
+    termination-check and rho-adaptation schedules aligned with the
+    reference's whole-loop iteration numbering."""
+    backend = linsys_registry.get(cfg.linsys_solver)
+    check = int(cfg.check_termination)
+    interval = int(cfg.adaptive_rho_interval) if cfg.adaptive_rho else 0
+    end_iter = jnp.minimum(jnp.asarray(end_iter, jnp.int32), cfg.max_iter)
+
     def loop_cond(c: _Carry):
-        return (c.k <= cfg.max_iter) & jnp.any(c.active)
+        return (c.k <= end_iter) & jnp.any(c.active)
 
     def loop_body(c: _Carry) -> _Carry:
         it_new, dx_new, dy_new = admm_step(
@@ -291,22 +299,47 @@ def solve_core(
             )
         return c._replace(k=c.k + 1)
 
-    c = jax.lax.while_loop(loop_cond, loop_body, carry0)
+    return jax.lax.while_loop(loop_cond, loop_body, c)
 
-    # ---- Post-loop (osqp.c:537-589) -------------------------------------
-    # Instances still active hit max_iter.  If the final iteration was not
-    # a check iteration, run update_info + check_termination now
-    # (osqp.c:537-560 with iter-1 == max_iter).
-    if not (check > 0 and cfg.max_iter % check == 0):
-        c = _apply_check(cfg, data, scl, dyn, c, cfg.max_iter, approximate=False)
 
-    # Approximate-tolerance pass for instances still UNSOLVED
-    # (osqp.c:576-581: check_termination(work, 1)).
-    c = _apply_check(cfg, data, scl, dyn, c, cfg.max_iter, approximate=True)
+def finalize(
+    cfg: StaticConfig,
+    data: QPData,
+    scl: ScalingData,
+    dyn: DynSettings,
+    c: _Carry,
+    fallback_status: int = OSQP_MAX_ITER_REACHED,
+    run_checks: bool = True,
+) -> SolveResult:
+    """Post-loop logic (osqp.c:537-640): final update_info + plain check,
+    approximate-tolerance pass, fallback status for the rest, objective
+    and final rho estimate.
+
+    Re-running the plain check when the last iteration was already a
+    check iteration is idempotent (identical inputs -> identical failed
+    checks), so it runs unconditionally.  ``fallback_status`` is
+    MAX_ITER_REACHED on the normal path and TIME_LIMIT_REACHED when the
+    host aborted on settings.time_limit (osqp.c:585-589).
+    ``run_checks=False`` is the SIGINT path (osqp.c:377-385 jumps
+    straight to exit without further checks)."""
+    last_iter = jnp.minimum(c.k - 1, cfg.max_iter)
+    if run_checks:
+        c = _apply_check(cfg, data, scl, dyn, c, last_iter, approximate=False)
+
+        # Approximate-tolerance pass for instances still UNSOLVED
+        # (osqp.c:576-581: check_termination(work, 1)).
+        c = _apply_check(cfg, data, scl, dyn, c, last_iter, approximate=True)
+    else:
+        c = c._replace(
+            info=replace(
+                c.info,
+                iter=jnp.where(c.active, last_iter, c.info.iter),
+            )
+        )
     info = replace(
         c.info,
         status_val=jnp.where(
-            c.active, jnp.asarray(OSQP_MAX_ITER_REACHED, jnp.int32), c.info.status_val
+            c.active, jnp.asarray(fallback_status, jnp.int32), c.info.status_val
         ),
     )
 
@@ -337,3 +370,35 @@ def solve_core(
         delta_x=c.delta_x,
         delta_y=c.delta_y,
     )
+
+
+def solve_core(
+    cfg: StaticConfig,
+    data: QPData,
+    scl: ScalingData,
+    dyn: DynSettings,
+    rho_state: RhoState,
+    factor: Any,
+    iterates: Iterates,
+) -> SolveResult:
+    """Run the full ADMM solve (osqp.c:354-640, minus host-side concerns)
+    as one traced program: init -> single whole-range segment -> finalize.
+
+    Everything is scaled; the caller unscales the solution.  ``iterates``
+    is the warm/cold start.  Returns per-instance statuses, residuals and
+    certificates.
+    """
+    c = init_carry(cfg, data, rho_state, factor, iterates)
+    c = run_segment(cfg, data, scl, dyn, c, cfg.max_iter)
+    return finalize(cfg, data, scl, dyn, c)
+
+
+def segment_row_info(cfg, data, scl, dyn, c: _Carry):
+    """Residuals + objective at the current iterates, for verbose
+    per-interval rows (print_summary columns, util.c:152-175)."""
+    from .termination import compute_products, residual_norms
+
+    pr = compute_products(data, c.it.x, c.it.z, c.it.y)
+    pri, dua = residual_norms(cfg, scl, pr)
+    obj = scl.cinv * (quad_form(data.P, c.it.x) + vec_dot(data.q, c.it.x))
+    return obj, pri, dua, c.rho_state.rho

@@ -34,6 +34,7 @@ import numpy as np
 
 from . import constants as con
 from . import linsys as linsys_registry
+from . import admm as admm_mod
 from .admm import set_rho_state, solve_core, update_rho_state
 from .constants import ErrorCode, OSQPError
 from .linalg import with_high_precision
@@ -210,6 +211,20 @@ def _device_setup(cfg: StaticConfig, scaling_iters: int, P, q, A, l, u, rho, dyn
 
 _device_solve = jax.jit(with_high_precision(solve_core), static_argnames=("cfg",))
 
+_device_init_carry = jax.jit(
+    with_high_precision(admm_mod.init_carry), static_argnames=("cfg",)
+)
+_device_segment = jax.jit(
+    with_high_precision(admm_mod.run_segment), static_argnames=("cfg",)
+)
+_device_finalize = jax.jit(
+    with_high_precision(admm_mod.finalize),
+    static_argnames=("cfg", "fallback_status", "run_checks"),
+)
+_device_row_info = jax.jit(
+    with_high_precision(admm_mod.segment_row_info), static_argnames=("cfg",)
+)
+
 
 @partial(jax.jit, static_argnames=("cfg", "refine_iter"))
 @with_high_precision
@@ -350,15 +365,22 @@ class Solver:
         if not self.settings.warm_start:
             iterates = Iterates.cold(1, self.n, self.m, self._dtype)
 
-        result = _device_solve(
-            self._cfg,
-            self.data,
-            self.scaling,
-            self._dyn,
-            self.rho_state,
-            self.factor,
-            iterates,
-        )
+        # Segmented host loop when the solve needs host interaction:
+        # time_limit polling (osqp.c:387-407), per-interval printing
+        # (osqp.c:414-427), Ctrl-C polling (osqp.c:374-385).  Otherwise
+        # the whole solve is one device program.
+        if self.settings.time_limit > 0 or self.settings.verbose:
+            result = self._solve_segmented(iterates, t0)
+        else:
+            result = _device_solve(
+                self._cfg,
+                self.data,
+                self.scaling,
+                self._dyn,
+                self.rho_state,
+                self.factor,
+                iterates,
+            )
         jax.block_until_ready(result.info.status_val)
         self.info.solve_time = time.perf_counter() - t0
 
@@ -465,6 +487,57 @@ class Solver:
             prim_inf_cert=prim_cert,
             dual_inf_cert=dual_cert,
             info=dataclasses.replace(self.info),
+        )
+
+    def _solve_segmented(self, iterates, t0: float):
+        """Host-chunked solve: run `check_termination`-sized segments,
+        polling wall-clock time (time_limit), printing summary rows at
+        PRINT_INTERVAL, and catching Ctrl-C between segments."""
+        import jax.numpy as jnp
+
+        from .utils.printing import print_iter_header, print_iter_row
+
+        cfg = self._cfg
+        verbose = bool(self.settings.verbose)
+        time_limit = float(self.settings.time_limit)
+        seg = cfg.check_termination if cfg.check_termination > 0 else 25
+
+        c = _device_init_carry(cfg, self.data, self.rho_state, self.factor, iterates)
+        if verbose:
+            print_iter_header()
+        next_print = 1  # reference prints at iter == 1 then every 200
+        fallback = con.OSQP_MAX_ITER_REACHED
+        run_checks = True
+        k = 1
+        # time budget composition (osqp.c:387-396)
+        base_time = self.info.setup_time if self._first_run else self.info.update_time
+        try:
+            while k <= cfg.max_iter:
+                end = min(k + seg - 1, cfg.max_iter)
+                c = _device_segment(cfg, self.data, self.scaling, self._dyn, c, end)
+                k = end + 1
+                elapsed = time.perf_counter() - t0
+                if verbose and end >= next_print:
+                    obj, pri, dua, rho = _device_row_info(
+                        cfg, self.data, self.scaling, self._dyn, c
+                    )
+                    print_iter_row(
+                        end, float(obj[0]), float(pri[0]), float(dua[0]),
+                        float(rho[0]), elapsed,
+                    )
+                    next_print = (end // con.PRINT_INTERVAL + 1) * con.PRINT_INTERVAL
+                if not bool(jnp.any(c.active)):
+                    break
+                if time_limit > 0 and base_time + elapsed >= time_limit:
+                    fallback = con.OSQP_TIME_LIMIT_REACHED
+                    break
+        except KeyboardInterrupt:
+            fallback = con.OSQP_SIGINT
+            run_checks = False
+            print("Solver interrupted")
+        return _device_finalize(
+            cfg, self.data, self.scaling, self._dyn, c,
+            fallback_status=fallback, run_checks=run_checks,
         )
 
     # -- warm start (osqp.c:942-1007) ---------------------------------------

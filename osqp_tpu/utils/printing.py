@@ -54,13 +54,9 @@ def print_iter_header() -> None:
 
 
 def print_summary_footer(solver) -> None:
-    """print_summary + print_polish + print_footer (util.c:152-236)."""
+    """print_polish + print_footer (util.c:177-236); per-iteration rows
+    are printed live by the segmented solve loop."""
     info = solver.info
-    print_iter_header()
-    print_iter_row(
-        info.iter, info.obj_val, info.pri_res, info.dua_res,
-        info.rho_estimate, info.solve_time,
-    )
     if solver.settings.polish and info.status_polish == 1:
         print(
             f"plsh  {info.obj_val: .4e}  {info.pri_res:.2e}  "
