@@ -1,0 +1,181 @@
+"""Maros-Meszaros benchmark harness.
+
+The reference defers its accuracy benchmark to the external
+osqp_benchmarks repo (README.md:42-43); this harness plays that role:
+parse QPS files, solve each at eps_abs = eps_rel = 1e-3 (reference
+defaults) with polish and infeasibility detection, and report the pass
+rate.
+
+Usage:
+    python -m osqp_tpu.maros DIR_OR_FILES... [--eps 1e-3] [--no-polish]
+        [--single] [--shard i/k] [--max-iter 4000] [--dtype float64]
+
+``--shard i/k`` partitions the problem list across k hosts (sorted by
+size, round-robin) — the multi-host axis of the benchmark: each host
+works an independent shard, nothing crosses DCN during solves.
+``--single`` solves one-by-one via :class:`osqp_tpu.Solver`; default
+batches same-bucket problems through :func:`osqp_tpu.buckets.solve_problems`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from . import constants as con
+from .buckets import solve_problems
+from .io.qps import load_qps
+
+
+def collect_paths(args_paths):
+    paths = []
+    for p in args_paths:
+        if os.path.isdir(p):
+            paths += sorted(
+                glob.glob(os.path.join(p, "*.qps"))
+                + glob.glob(os.path.join(p, "*.QPS"))
+                + glob.glob(os.path.join(p, "*.qps.gz"))
+            )
+        else:
+            paths.append(p)
+    return paths
+
+
+def run_maros(
+    paths,
+    eps: float = 1e-3,
+    polish: bool = True,
+    single: bool = False,
+    max_iter: int = 4000,
+    dtype=None,
+    shard: tuple[int, int] | None = None,
+    verbose: bool = True,
+):
+    problems = []
+    for p in paths:
+        qp = load_qps(p)
+        problems.append(qp)
+
+    if shard is not None:
+        i, k = shard
+        order = sorted(range(len(problems)), key=lambda j: -problems[j].n)
+        keep = set(order[i::k])
+        problems = [p for j, p in enumerate(problems) if j in keep]
+
+    settings = dict(
+        eps_abs=eps,
+        eps_rel=eps,
+        polish=polish,
+        max_iter=max_iter,
+        verbose=False,
+    )
+    if dtype is not None:
+        settings["dtype"] = dtype
+
+    t0 = time.perf_counter()
+    rows = []
+    if single:
+        from .solver import Solver
+
+        for qp in problems:
+            t = time.perf_counter()
+            s = Solver(P=qp.P, q=qp.q, A=qp.A, l=qp.l, u=qp.u, **settings)
+            r = s.solve()
+            rows.append(
+                dict(
+                    name=qp.name,
+                    n=qp.n,
+                    m=qp.m,
+                    status=r.info.status,
+                    status_val=r.info.status_val,
+                    iter=r.info.iter,
+                    obj=r.info.obj_val + qp.obj_constant,
+                    pri_res=r.info.pri_res,
+                    dua_res=r.info.dua_res,
+                    time=time.perf_counter() - t,
+                )
+            )
+    else:
+        results = solve_problems(
+            [(qp.name, qp.P, qp.q, qp.A, qp.l, qp.u) for qp in problems],
+            **settings,
+        )
+        for qp, r in zip(problems, results):
+            rows.append(
+                dict(
+                    name=r.name,
+                    n=r.n,
+                    m=r.m,
+                    status=con.STATUS_MESSAGE.get(r.status_val, "?"),
+                    status_val=r.status_val,
+                    iter=r.iter,
+                    obj=r.obj_val + qp.obj_constant,
+                    pri_res=r.pri_res,
+                    dua_res=r.dua_res,
+                    time=float("nan"),
+                )
+            )
+    total_time = time.perf_counter() - t0
+
+    solved = sum(
+        1
+        for r in rows
+        if r["status_val"] in (con.OSQP_SOLVED, con.OSQP_SOLVED_INACCURATE)
+    )
+    summary = dict(
+        problems=len(rows),
+        solved=solved,
+        pass_rate=solved / max(len(rows), 1),
+        total_time=total_time,
+    )
+    if verbose:
+        for r in rows:
+            print(
+                f"{r['name']:<16} n={r['n']:<6} m={r['m']:<6} "
+                f"{r['status']:<28} iter={r['iter']:<5} obj={r['obj']:+.6e} "
+                f"pri={r['pri_res']:.2e} dua={r['dua_res']:.2e}"
+            )
+        print(json.dumps(summary))
+    return rows, summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("paths", nargs="+")
+    ap.add_argument("--eps", type=float, default=1e-3)
+    ap.add_argument("--no-polish", action="store_true")
+    ap.add_argument("--single", action="store_true")
+    ap.add_argument("--max-iter", type=int, default=4000)
+    ap.add_argument("--dtype", default=None)
+    ap.add_argument("--shard", default=None, help="i/k host shard")
+    args = ap.parse_args(argv)
+
+    shard = None
+    if args.shard:
+        i, k = args.shard.split("/")
+        shard = (int(i), int(k))
+
+    paths = collect_paths(args.paths)
+    if not paths:
+        print("no QPS files found", file=sys.stderr)
+        return 1
+    _, summary = run_maros(
+        paths,
+        eps=args.eps,
+        polish=not args.no_polish,
+        single=args.single,
+        max_iter=args.max_iter,
+        dtype=args.dtype,
+        shard=shard,
+    )
+    return 0 if summary["pass_rate"] == 1.0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

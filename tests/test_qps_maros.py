@@ -1,0 +1,166 @@
+"""QPS parser, shape-bucketed heterogeneous batching, and the
+Maros-Meszaros harness (offline, hand-written QPS fixtures)."""
+
+import numpy as np
+import pytest
+
+import osqp_tpu
+from osqp_tpu import constants as con
+from osqp_tpu.io.qps import parse_qps
+from osqp_tpu.buckets import solve_problems
+from osqp_tpu.maros import run_maros
+
+BASIC_QPS = """\
+NAME          BASICQP
+ROWS
+ N  obj
+ E  c1
+COLUMNS
+    x1        obj       1.0        c1        1.0
+    x2        obj       1.0        c1        1.0
+RHS
+    rhs       c1        1.0        obj       1.0
+BOUNDS
+ UP bnd       x1        0.7
+ UP bnd       x2        0.7
+QUADOBJ
+    x1        x1        4.0
+    x1        x2        1.0
+    x2        x2        2.0
+ENDATA
+"""
+
+RANGES_QPS = """\
+NAME          RANGED
+ROWS
+ N  cost
+ L  r1
+ G  r2
+ E  r3
+COLUMNS
+    y1        cost      1.0        r1        1.0
+    y1        r2        1.0        r3        1.0
+    y2        cost     -2.0        r1        1.0
+    y2        r3        1.0
+RHS
+    rhs       r1        4.0        r2        1.0
+    rhs       r3        2.0        cost      5.0
+RANGES
+    rng       r1        2.0        r2        3.0
+    rng       r3       -1.0
+BOUNDS
+ FR bnd       y1
+ MI bnd       y2
+ UP bnd       y2        10.0
+QUADOBJ
+    y1        y1        2.0
+    y2        y2        2.0
+ENDATA
+"""
+
+
+class TestParser:
+    def test_basic(self):
+        qp = parse_qps(BASIC_QPS)
+        assert qp.name == "BASICQP"
+        assert qp.n == 2
+        # 1 constraint row + 2 bound rows
+        assert qp.m == 3
+        P = np.asarray(qp.P.todense())
+        np.testing.assert_allclose(P, [[4.0, 1.0], [0.0, 2.0]])
+        np.testing.assert_allclose(qp.q, [1.0, 1.0])
+        A = np.asarray(qp.A.todense())
+        np.testing.assert_allclose(A, [[1, 1], [1, 0], [0, 1]])
+        np.testing.assert_allclose(qp.l, [1.0, 0.0, 0.0])
+        np.testing.assert_allclose(qp.u, [1.0, 0.7, 0.7])
+        assert qp.obj_constant == -1.0
+
+    def test_ranges_and_bounds(self):
+        qp = parse_qps(RANGES_QPS)
+        # rows: r1 L rhs 4 range 2 -> [2, 4]; r2 G rhs 1 range 3 -> [1, 4];
+        # r3 E rhs 2 range -1 -> [1, 2]
+        np.testing.assert_allclose(qp.l[:3], [2.0, 1.0, 1.0])
+        np.testing.assert_allclose(qp.u[:3], [4.0, 4.0, 2.0])
+        # bounds: y1 FR (no row); y2 MI + UP 10 -> one bound row [-inf, 10]
+        assert qp.m == 4
+        assert qp.l[3] == -np.inf or qp.l[3] <= -con.OSQP_INFTY
+        np.testing.assert_allclose(qp.u[3], 10.0)
+        assert qp.obj_constant == -5.0
+
+    def test_solves_to_known_solution(self):
+        qp = parse_qps(BASIC_QPS)
+        s = osqp_tpu.Solver(
+            P=qp.P, q=qp.q, A=qp.A, l=qp.l, u=qp.u, verbose=False, polish=True
+        )
+        r = s.solve()
+        assert r.info.status_val == con.OSQP_SOLVED
+        np.testing.assert_allclose(r.x, [0.3, 0.7], atol=1e-4)
+        assert abs((r.info.obj_val + qp.obj_constant) - (1.88 - 1.0)) < 1e-4
+
+
+class TestBuckets:
+    def test_heterogeneous_batch_matches_single(self):
+        rng = np.random.default_rng(0)
+        problems = []
+        singles = []
+        for i, (n, m) in enumerate([(3, 5), (7, 4), (3, 5), (12, 20)]):
+            M = rng.standard_normal((n, n))
+            P = M @ M.T + 0.5 * np.eye(n)
+            q = rng.standard_normal(n)
+            A = rng.standard_normal((m, n))
+            x0 = rng.standard_normal(n)
+            l = A @ x0 - 1.0
+            u = A @ x0 + 1.0
+            problems.append((f"p{i}", P, q, A, l, u))
+            singles.append((P, q, A, l, u))
+
+        results = solve_problems(problems, polish=True, verbose=False)
+        for (P, q, A, l, u), r in zip(singles, results):
+            s = osqp_tpu.Solver(
+                P=P, q=q, A=A, l=l, u=u, polish=True, verbose=False
+            )
+            ri = s.solve()
+            assert r.status_val == con.OSQP_SOLVED
+            np.testing.assert_allclose(r.x, ri.x, atol=1e-6)
+            assert abs(r.obj_val - ri.info.obj_val) < 1e-6
+
+    def test_infeasible_in_bucket(self):
+        P = np.eye(2)
+        q = np.zeros(2)
+        A = np.array([[1.0, 0.0], [1.0, 0.0]])
+        problems = [
+            ("feasible", P, q, A, np.array([0.0, 0.0]), np.array([1.0, 1.0])),
+            ("infeasible", P, q, A, np.array([0.0, 2.0]), np.array([1.0, 3.0])),
+        ]
+        results = solve_problems(problems, verbose=False)
+        assert results[0].status_val == con.OSQP_SOLVED
+        assert results[1].status_val == con.OSQP_PRIMAL_INFEASIBLE
+
+
+class TestMarosHarness:
+    def test_run_maros(self, tmp_path):
+        (tmp_path / "basic.qps").write_text(BASIC_QPS)
+        (tmp_path / "ranged.qps").write_text(RANGES_QPS)
+        rows, summary = run_maros(
+            [str(tmp_path / "basic.qps"), str(tmp_path / "ranged.qps")],
+            verbose=False,
+        )
+        assert summary["problems"] == 2
+        assert summary["pass_rate"] == 1.0
+        by_name = {r["name"]: r for r in rows}
+        assert abs(by_name["BASICQP"]["obj"] - 0.88) < 1e-3
+
+    def test_run_maros_single_mode(self, tmp_path):
+        (tmp_path / "basic.qps").write_text(BASIC_QPS)
+        rows, summary = run_maros(
+            [str(tmp_path / "basic.qps")], single=True, verbose=False
+        )
+        assert summary["pass_rate"] == 1.0
+
+    def test_shard_partition(self, tmp_path):
+        for i in range(4):
+            (tmp_path / f"p{i}.qps").write_text(BASIC_QPS)
+        paths = sorted(str(p) for p in tmp_path.glob("*.qps"))
+        r0, _ = run_maros(paths, shard=(0, 2), verbose=False)
+        r1, _ = run_maros(paths, shard=(1, 2), verbose=False)
+        assert len(r0) + len(r1) == 4
