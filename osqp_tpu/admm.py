@@ -181,7 +181,7 @@ def _apply_check(cfg, data, scl, dyn, c: _Carry, iter_number, approximate=False)
     )
 
 
-def _apply_rho_adaptation(cfg, backend, data, dyn, c: _Carry) -> _Carry:
+def _apply_rho_adaptation(cfg, data, dyn, c: _Carry) -> _Carry:
     """adapt_rho (auxil.c:54-74) + osqp_update_rho (osqp.c:1281-1332).
 
     Updates rho where the estimate is more than adaptive_rho_tolerance x
@@ -212,13 +212,8 @@ def _apply_rho_adaptation(cfg, backend, data, dyn, c: _Carry) -> _Carry:
             rho_inv_vec=1.0 / new_rv,
             constr_type=rs.constr_type,
         )
-        new_factor = backend.init(
-            data.P,
-            data.A,
-            dyn.sigma,
-            new_rv,
-            cg_max_iter=cfg.cg_max_iter,
-            cg_tol_fraction=cfg.cg_tol_fraction,
+        new_factor = linsys_registry.init_factor(
+            cfg, data.P, data.A, dyn.sigma, new_rv
         )
         factor = jax.tree_util.tree_map(select_factor, new_factor, factor)
         new_info = replace(info, rho_updates=info.rho_updates + upd.astype(jnp.int32))
@@ -293,7 +288,7 @@ def run_segment(
         if interval > 0:
             c = jax.lax.cond(
                 c.k % interval == 0,
-                lambda cc: _apply_rho_adaptation(cfg, backend, data, dyn, cc),
+                lambda cc: _apply_rho_adaptation(cfg, data, dyn, cc),
                 lambda cc: cc,
                 c,
             )

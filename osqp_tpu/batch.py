@@ -79,14 +79,8 @@ def solve_batch_jit(
         scaled, scl = data, ScalingData.identity(B, n, m, dtype)
 
     rho_state = set_rho_state(scaled, rho0)
-    backend = linsys_registry.get(cfg.linsys_solver)
-    factor = backend.init(
-        scaled.P,
-        scaled.A,
-        dyn.sigma,
-        rho_state.rho_vec,
-        cg_max_iter=cfg.cg_max_iter,
-        cg_tol_fraction=cfg.cg_tol_fraction,
+    factor = linsys_registry.init_factor(
+        cfg, scaled.P, scaled.A, dyn.sigma, rho_state.rho_vec
     )
 
     # Warm start (osqp.c:942-965): scale iterates, z = A x
@@ -172,6 +166,7 @@ def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
         dtype=str(jnp.dtype(dtype)),
         cg_max_iter=int(settings.cg_max_iter),
         cg_tol_fraction=float(settings.cg_tol_fraction),
+        block_size=int(settings.block_size),
     )
 
 

@@ -213,31 +213,48 @@ def parse_qps(text: str, name_hint: str = "") -> QPSProblem:
                     lb = b + r
         l_rows[i], u_rows[i] = lb, ub
 
-    # ---- variable bounds appended as identity rows -------------------------
     lo_arr = np.zeros(n)
     up_arr = np.full(n, INF)
     for j, v in lo.items():
         lo_arr[j] = v
     for j, v in up.items():
         up_arr[j] = v
-    bounded = [
-        j for j in range(n) if lo_arr[j] > -INF or up_arr[j] < INF
-    ]
 
+    q = np.zeros(n)
+    for j, v in q_lin.items():
+        q[j] = v
+
+    a_trip = (
+        np.fromiter((i for (i, _, _) in a_entries), np.int64, len(a_entries)),
+        np.fromiter((j for (_, j, _) in a_entries), np.int64, len(a_entries)),
+        np.fromiter((v for (_, _, v) in a_entries), np.float64, len(a_entries)),
+    )
+    q_trip = (
+        np.fromiter((min(i, j) for (i, j, _) in q_entries), np.int64, len(q_entries)),
+        np.fromiter((max(i, j) for (i, j, _) in q_entries), np.int64, len(q_entries)),
+        np.fromiter((v for (_, _, v) in q_entries), np.float64, len(q_entries)),
+    )
+    return _assemble(
+        name or "qps", n, m_rows, a_trip, q_trip, q, l_rows, u_rows,
+        lo_arr, up_arr, obj_rhs, col_order, row_order,
+    )
+
+
+def _assemble(
+    name, n, m_rows, a_trip, q_trip, q, l_rows, u_rows, lo_arr, up_arr,
+    obj_rhs, var_names=(), row_names=(),
+) -> QPSProblem:
+    """Build the OSQP-form QPSProblem from parsed raw pieces (shared by
+    the Python tokenizer above and the native C++ parser)."""
+    # Variable bounds appended as identity rows
+    bounded = np.flatnonzero((lo_arr > -INF) | (up_arr < INF))
     A_c = sp.coo_matrix(
-        (
-            [v for (_, _, v) in a_entries],
-            (
-                [i for (i, _, _) in a_entries],
-                [j for (_, j, _) in a_entries],
-            ),
-        ),
-        shape=(m_rows, n),
+        (a_trip[2], (a_trip[0], a_trip[1])), shape=(m_rows, n)
     ).tocsc()
-    if bounded:
+    if bounded.size:
         I_rows = sp.coo_matrix(
-            (np.ones(len(bounded)), (range(len(bounded)), bounded)),
-            shape=(len(bounded), n),
+            (np.ones(bounded.size), (np.arange(bounded.size), bounded)),
+            shape=(bounded.size, n),
         ).tocsc()
         A_full = sp.vstack([A_c, I_rows], format="csc")
         l_full = np.concatenate([l_rows, lo_arr[bounded]])
@@ -245,23 +262,16 @@ def parse_qps(text: str, name_hint: str = "") -> QPSProblem:
     else:
         A_full, l_full, u_full = A_c, l_rows, u_rows
 
-    # ---- quadratic part: QUADOBJ gives one triangle of Q; objective is
-    # 0.5 x' Q x, matching OSQP's P convention directly. -------------------
-    if q_entries:
-        rows = [min(i, j) for (i, j, _) in q_entries]
-        cols = [max(i, j) for (i, j, _) in q_entries]
-        vals = [v for (_, _, v) in q_entries]
-        P = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsc()
+    # Quadratic part: QUADOBJ gives one triangle of Q; objective is
+    # 0.5 x' Q x, matching OSQP's P convention directly.
+    if q_trip[2].size:
+        P = sp.coo_matrix((q_trip[2], (q_trip[0], q_trip[1])), shape=(n, n)).tocsc()
         P = sp.triu(P, format="csc")
     else:
         P = sp.csc_matrix((n, n))
 
-    q = np.zeros(n)
-    for j, v in q_lin.items():
-        q[j] = v
-
     return QPSProblem(
-        name=name or "qps",
+        name=name,
         P=P,
         q=q,
         A=A_full,
@@ -270,12 +280,34 @@ def parse_qps(text: str, name_hint: str = "") -> QPSProblem:
         obj_constant=-obj_rhs,  # MPS RHS on objective row is subtracted
         n=n,
         m=A_full.shape[0],
-        var_names=col_order,
-        row_names=row_order,
+        var_names=list(var_names),
+        row_names=list(row_names),
     )
 
 
-def load_qps(path: str) -> QPSProblem:
+def parse_qps_fast(text: str, name_hint: str = "") -> QPSProblem:
+    """Parse with the native C++ tokenizer when available, else Python."""
+    from .native import parse_qps_native
+
+    raw = parse_qps_native(text, name_hint)
+    if raw is None:
+        return parse_qps(text, name_hint)
+    return _assemble(
+        raw["name"] or "qps",
+        raw["n"],
+        raw["m"],
+        raw["a_trip"],
+        raw["q_trip"],
+        raw["q_lin"],
+        raw["l_rows"],
+        raw["u_rows"],
+        raw["lo"],
+        raw["up"],
+        raw["obj_rhs"],
+    )
+
+
+def load_qps(path: str, native: bool = True) -> QPSProblem:
     import gzip
     import os
 
@@ -285,4 +317,5 @@ def load_qps(path: str) -> QPSProblem:
     else:
         with open(path) as f:
             text = f.read()
-    return parse_qps(text, name_hint=os.path.splitext(os.path.basename(path))[0])
+    hint = os.path.splitext(os.path.basename(path))[0]
+    return (parse_qps_fast if native else parse_qps)(text, name_hint=hint)

@@ -28,13 +28,14 @@ with the exact split-solution semantics of the reference: the returned
 
 from __future__ import annotations
 
-from . import cg, dense_chol, dense_inv, kkt_lu
+from . import block_tridiag, cg, dense_chol, dense_inv, kkt_lu
 
 _REGISTRY = {
     "dense_inv": dense_inv,
     "dense_chol": dense_chol,
     "kkt_lu": kkt_lu,
     "cg": cg,
+    "block_tridiag": block_tridiag,
 }
 
 # Reference enum names (constants.h:35) map onto the TPU-native backends.
@@ -54,3 +55,18 @@ def get(name: str):
     if key not in _REGISTRY:
         raise KeyError(f"unknown linsys solver {name!r}; available: {available()}")
     return _REGISTRY[key]
+
+
+def init_factor(cfg, P, A, sigma, rho_vec):
+    """Factorize with the backend + options selected by ``cfg``
+    (StaticConfig) — the single entry point all (re)factorization
+    sites share (setup, rho update, bounds-class change)."""
+    return get(cfg.linsys_solver).init(
+        P,
+        A,
+        sigma,
+        rho_vec,
+        cg_max_iter=cfg.cg_max_iter,
+        cg_tol_fraction=cfg.cg_tol_fraction,
+        block_size=cfg.block_size,
+    )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..linalg import mat_tvec, mat_vec, vec_dot
 
 
-def init(P, A, sigma, rho_vec, cg_max_iter: int = 0, cg_tol_fraction: float = 1e-7):
+def init(P, A, sigma, rho_vec, cg_max_iter: int = 0, cg_tol_fraction: float = 1e-7, **_):
     n = P.shape[-1]
     m = A.shape[-2]
     diagM = jnp.diagonal(P, axis1=-2, axis2=-1) + sigma

@@ -81,6 +81,8 @@ class Settings:
     # Indirect backend knobs
     cg_max_iter: int = 0
     cg_tol_fraction: float = 1e-7
+    # Stage-block size for the block_tridiag (MPC/OCP) backend
+    block_size: int = 0
 
 
 def validate_settings(s: Settings) -> None:
@@ -192,14 +194,8 @@ def _device_setup(cfg: StaticConfig, scaling_iters: int, P, q, A, l, u, rho, dyn
     else:
         scaled, scl = data, ScalingData.identity(B, n, cfg.m, q.dtype)
     rho_state = set_rho_state(scaled, rho)
-    backend = linsys_registry.get(cfg.linsys_solver)
-    factor = backend.init(
-        scaled.P,
-        scaled.A,
-        dyn.sigma,
-        rho_state.rho_vec,
-        cg_max_iter=cfg.cg_max_iter,
-        cg_tol_fraction=cfg.cg_tol_fraction,
+    factor = linsys_registry.init_factor(
+        cfg, scaled.P, scaled.A, dyn.sigma, rho_state.rho_vec
     )
     # Convexity check: the KKT is quasi-definite iff P + sigma I is PD —
     # the same condition QDLDL verifies by counting positive D entries
@@ -235,15 +231,7 @@ def _device_polish(cfg, refine_iter, data, scl, dyn, x, z, y, pri_res, dua_res):
 @partial(jax.jit, static_argnames=("cfg",))
 @with_high_precision
 def _device_refactor(cfg: StaticConfig, P, A, sigma, rho_vec):
-    backend = linsys_registry.get(cfg.linsys_solver)
-    return backend.init(
-        P,
-        A,
-        sigma,
-        rho_vec,
-        cg_max_iter=cfg.cg_max_iter,
-        cg_tol_fraction=cfg.cg_tol_fraction,
-    )
+    return linsys_registry.init_factor(cfg, P, A, sigma, rho_vec)
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +282,7 @@ class Solver:
             dtype=str(dt),
             cg_max_iter=int(self.settings.cg_max_iter),
             cg_tol_fraction=float(self.settings.cg_tol_fraction),
+            block_size=int(self.settings.block_size),
         )
         self._dyn = DynSettings.make(
             dt,

@@ -112,6 +112,8 @@ class StaticConfig:
     # for the second reference backend (pardiso_interface.c:73-228).
     cg_max_iter: int = 0  # 0 -> n + m
     cg_tol_fraction: float = 1e-7
+    # Stage-block size for the block_tridiag (MPC/OCP) backend.
+    block_size: int = 0
 
     @property
     def jdtype(self):

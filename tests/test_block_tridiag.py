@@ -1,0 +1,172 @@
+"""block_tridiag backend: factorization correctness + MPC end-to-end.
+
+The reference exploits MPC sparsity implicitly via AMD+QDLDL
+(lin_sys/direct/qdldl/qdldl_interface.c:177-323); the TPU-native
+equivalent is an explicit blocked Cholesky over stages.  These tests pin
+(a) the block factorization against a dense solve, (b) full-solver
+equivalence with the dense backend on an MPC problem, (c) the
+structure-validation helper.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from osqp_tpu.linsys import block_tridiag, dense_chol
+from osqp_tpu.models import build_mpc_qp
+from osqp_tpu.solver import Solver
+
+from conftest import assert_allclose
+
+
+def _random_block_tridiag_qp(B, Nb, b, seed=0):
+    """Random P (block-diagonal PD) and A (rows touching <= 2 adjacent
+    blocks) so that M = P + sigma I + A' rho A is block tridiagonal."""
+    rng = np.random.default_rng(seed)
+    n = Nb * b
+    P = np.zeros((B, n, n))
+    for i in range(Nb):
+        Mi = rng.standard_normal((B, b, b))
+        blk = np.einsum("bij,bkj->bik", Mi, Mi) / b + 0.5 * np.eye(b)
+        P[:, i * b : (i + 1) * b, i * b : (i + 1) * b] = blk
+    rows = []
+    for i in range(Nb - 1):
+        r = np.zeros((B, b, n))
+        r[:, :, i * b : (i + 2) * b] = rng.standard_normal((B, b, 2 * b))
+        rows.append(r)
+    A = np.concatenate(rows, axis=1) if rows else np.zeros((B, 0, n))
+    return P, A
+
+
+def test_factor_solve_matches_dense():
+    B, Nb, b = 3, 5, 4
+    P, A = _random_block_tridiag_qp(B, Nb, b)
+    n = Nb * b
+    m = A.shape[1]
+    rng = np.random.default_rng(1)
+    sigma = 1e-6
+    rho_vec = jnp.asarray(np.abs(rng.standard_normal((B, m))) + 0.1)
+    Pj, Aj = jnp.asarray(P), jnp.asarray(A)
+
+    assert block_tridiag.check_block_structure(Pj, Aj, sigma, rho_vec, b) == 0.0
+
+    factor = block_tridiag.init(Pj, Aj, sigma, rho_vec, block_size=b)
+    rhs_x = jnp.asarray(rng.standard_normal((B, n)))
+    rhs_z = jnp.asarray(rng.standard_normal((B, m)))
+    x_t, z_t = block_tridiag.solve(factor, Aj, rho_vec, rhs_x, rhs_z)
+
+    M = dense_chol.form_schur(Pj, Aj, sigma, rho_vec)
+    t = rhs_x + jnp.einsum("bmn,bm->bn", Aj, rho_vec * rhs_z)
+    x_ref = jnp.linalg.solve(M, t[..., None])[..., 0]
+    assert_allclose(x_t, x_ref, tol=1e-8)
+    assert_allclose(z_t, jnp.einsum("bmn,bn->bm", Aj, x_ref), tol=1e-8)
+
+
+def test_single_block_is_dense_chol():
+    B, n, m = 2, 6, 4
+    rng = np.random.default_rng(2)
+    M0 = rng.standard_normal((B, n, n))
+    P = jnp.asarray(np.einsum("bij,bkj->bik", M0, M0) / n + 0.3 * np.eye(n))
+    A = jnp.asarray(rng.standard_normal((B, m, n)))
+    rho_vec = jnp.ones((B, m)) * 0.7
+    f_bt = block_tridiag.init(P, A, 1e-6, rho_vec, block_size=n)
+    f_dc = dense_chol.init(P, A, 1e-6, rho_vec)
+    rhs_x = jnp.asarray(rng.standard_normal((B, n)))
+    rhs_z = jnp.asarray(rng.standard_normal((B, m)))
+    x1, z1 = block_tridiag.solve(f_bt, A, rho_vec, rhs_x, rhs_z)
+    x2, z2 = dense_chol.solve(f_dc, A, rho_vec, rhs_x, rhs_z)
+    assert_allclose(x1, x2, tol=1e-9)
+    assert_allclose(z1, z2, tol=1e-9)
+
+
+def test_init_rejects_bad_block_size():
+    P = jnp.eye(6)[None]
+    A = jnp.zeros((1, 0, 6))
+    with pytest.raises(ValueError):
+        block_tridiag.init(P, A, 1e-6, jnp.zeros((1, 0)), block_size=4)
+    with pytest.raises(ValueError):
+        block_tridiag.init(P, A, 1e-6, jnp.zeros((1, 0)), block_size=0)
+
+
+def _double_integrator_mpc(N=12):
+    dt = 0.1
+    Ad = np.array([[1.0, dt], [0.0, 1.0]])
+    Bd = np.array([[0.5 * dt * dt], [dt]])
+    Q = np.diag([1.0, 0.1])
+    R = np.array([[0.1]])
+    return build_mpc_qp(
+        Ad,
+        Bd,
+        Q,
+        R,
+        QN=10 * Q,
+        xinit=[1.0, 0.0],
+        xr=[0.0, 0.0],
+        horizon=N,
+        xmin=[-5.0, -2.0],
+        xmax=[5.0, 2.0],
+        umin=[-1.0],
+        umax=[1.0],
+    )
+
+
+def test_mpc_block_tridiag_matches_dense():
+    prob = _double_integrator_mpc()
+    sigma = 1e-6
+    # The MPC stage ordering really is block tridiagonal.
+    mres = block_tridiag.check_block_structure(
+        jnp.asarray(prob.P)[None],
+        jnp.asarray(prob.A)[None],
+        sigma,
+        jnp.ones((1, prob.A.shape[0])),
+        prob.block_size,
+    )
+    assert mres == 0.0
+
+    common = dict(polish=True, verbose=False, eps_abs=1e-6, eps_rel=1e-6)
+    s1 = Solver(
+        prob.P, prob.q, prob.A, prob.l, prob.u,
+        linsys_solver="block_tridiag", block_size=prob.block_size, **common,
+    )
+    r1 = s1.solve()
+    s2 = Solver(
+        prob.P, prob.q, prob.A, prob.l, prob.u,
+        linsys_solver="dense_inv", **common,
+    )
+    r2 = s2.solve()
+    assert r1.info.status == "solved"
+    assert r2.info.status == "solved"
+    assert_allclose(r1.x, r2.x, tol=1e-5)
+    assert_allclose(r1.info.obj_val, r2.info.obj_val, tol=1e-6)
+
+    # Dynamics hold along the trajectory
+    xs, us = prob.split_solution(r1.x)
+    dt = 0.1
+    Ad = np.array([[1.0, dt], [0.0, 1.0]])
+    Bd = np.array([[0.5 * dt * dt], [dt]])
+    for k in range(prob.horizon):
+        assert_allclose(xs[k + 1], Ad @ xs[k] + Bd @ us[k], tol=1e-5)
+    assert_allclose(xs[0], [1.0, 0.0], tol=1e-6)
+    assert np.all(np.abs(us) <= 1.0 + 1e-6)
+
+
+def test_mpc_receding_horizon_bounds_update():
+    prob = _double_integrator_mpc(N=8)
+    s = Solver(
+        prob.P, prob.q, prob.A, prob.l, prob.u,
+        linsys_solver="block_tridiag", block_size=prob.block_size,
+        polish=False, verbose=False,
+    )
+    x = np.array([1.0, 0.0])
+    dt = 0.1
+    Ad = np.array([[1.0, dt], [0.0, 1.0]])
+    Bd = np.array([[0.5 * dt * dt], [dt]])
+    for _ in range(20):
+        res = s.solve()
+        assert res.info.status == "solved"
+        _, us = prob.split_solution(res.x)
+        x = Ad @ x + Bd @ us[0]
+        prob.update_xinit(s, x)
+    # Regulator drives the state toward the origin
+    assert np.linalg.norm(x) < 0.5

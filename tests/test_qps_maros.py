@@ -98,6 +98,51 @@ class TestParser:
         assert abs((r.info.obj_val + qp.obj_constant) - (1.88 - 1.0)) < 1e-4
 
 
+class TestNativeParser:
+    """The C++ parser (native/qps_parser.cpp via ctypes) must agree with
+    the pure-Python tokenizer on every field."""
+
+    def _assert_equal(self, a, b):
+        assert a.name == b.name
+        assert a.n == b.n and a.m == b.m
+        np.testing.assert_allclose(
+            np.asarray(a.P.todense()), np.asarray(b.P.todense())
+        )
+        np.testing.assert_allclose(a.q, b.q)
+        np.testing.assert_allclose(
+            np.asarray(a.A.todense()), np.asarray(b.A.todense())
+        )
+        np.testing.assert_allclose(a.l, b.l)
+        np.testing.assert_allclose(a.u, b.u)
+        assert a.obj_constant == b.obj_constant
+
+    def test_native_builds_and_matches(self):
+        from osqp_tpu.io.native import load_native
+        from osqp_tpu.io.qps import parse_qps_fast
+
+        if load_native() is None:
+            pytest.skip("native parser unavailable (no g++)")
+        for text in (BASIC_QPS, RANGES_QPS):
+            self._assert_equal(parse_qps_fast(text), parse_qps(text))
+
+    def test_native_error_reporting(self):
+        from osqp_tpu.io.native import load_native, parse_qps_native
+
+        if load_native() is None:
+            pytest.skip("native parser unavailable (no g++)")
+        with pytest.raises(ValueError, match="unknown QPS section"):
+            parse_qps_native("GARBAGE_SECTION\n x y z\n")
+
+    def test_load_qps_uses_native(self, tmp_path):
+        from osqp_tpu.io.qps import load_qps
+
+        p = tmp_path / "basic.qps"
+        p.write_text(BASIC_QPS)
+        a = load_qps(str(p), native=True)
+        b = load_qps(str(p), native=False)
+        self._assert_equal(a, b)
+
+
 class TestBuckets:
     def test_heterogeneous_batch_matches_single(self):
         rng = np.random.default_rng(0)
