@@ -29,11 +29,21 @@ Factorization cost: one batched Cholesky + two n-wide triangular solves
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..linalg import mat_tvec
 from .dense_chol import form_schur
+
+# GEMV strategy for the per-iteration solve.  "mxu": einsum with
+# precision="highest" (f32 emulated as multi-pass bf16 on the MXU —
+# re-reads the big W operand per pass).  "vpu": broadcast-multiply +
+# reduce on the VPU — single f32 pass over W, exact f32 FMA.  The hot
+# GEMV is memory-bound, so the single-pass formulation wins; see
+# tools/profile_iter.py.
+_GEMV_MODE = os.environ.get("OSQP_TPU_GEMV_MODE", "vpu")
 
 
 def init(P, A, sigma, rho_vec, **_):
@@ -64,10 +74,15 @@ def init(P, A, sigma, rho_vec, **_):
 def solve(factor, A, rho_vec, rhs_x, rhs_z, x0=None):
     n = rhs_x.shape[-1]
     t = rhs_x
-    if A.shape[-2]:
-        t = t + mat_tvec(A, rho_vec * rhs_z)
-    out = jnp.einsum(
-        "bkn,bn->bk", factor["W"], t, preferred_element_type=t.dtype,
-        precision="highest",
-    )
+    if _GEMV_MODE == "vpu":
+        if A.shape[-2]:
+            t = t + jnp.sum(A * (rho_vec * rhs_z)[:, :, None], axis=1)
+        out = jnp.sum(factor["W"] * t[:, None, :], axis=-1)
+    else:
+        if A.shape[-2]:
+            t = t + mat_tvec(A, rho_vec * rhs_z)
+        out = jnp.einsum(
+            "bkn,bn->bk", factor["W"], t, preferred_element_type=t.dtype,
+            precision="highest",
+        )
     return out[..., :n], out[..., n:]

@@ -1,0 +1,41 @@
+"""AOT export (EMBEDDED-mode analogue): serialize, reload, same results."""
+
+import numpy as np
+
+from osqp_tpu.batch import solve_batch
+from osqp_tpu.export import export_solver, load_solver
+
+from conftest import assert_allclose
+
+
+def _problems(B, n, m, seed=0):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((B, n, n))
+    P = np.einsum("bij,bkj->bik", M, M) / n + 0.2 * np.eye(n)
+    q = rng.standard_normal((B, n))
+    A = rng.standard_normal((B, m, n))
+    x0 = rng.standard_normal((B, n))
+    Ax = np.einsum("bmn,bn->bm", A, x0)
+    l = Ax - 0.5 - np.abs(rng.standard_normal((B, m)))
+    u = Ax + 0.5 + np.abs(rng.standard_normal((B, m)))
+    return P, q, A, l, u
+
+
+def test_export_roundtrip_matches_live_solve():
+    B, n, m = 4, 6, 9
+    P, q, A, l, u = _problems(B, n, m)
+    blob = export_solver(
+        B, n, m, dtype="float64", polish=True, verbose=False
+    )
+    assert isinstance(blob, bytes) and len(blob) > 1000
+
+    fn = load_solver(blob)
+    out = fn(*(np.asarray(v, np.float64) for v in (P, q, A, l, u)))
+    live = solve_batch(P, q, A, l, u, dtype="float64", polish=True, verbose=False)
+
+    assert np.all(np.asarray(out["status_val"]) == 1)
+    assert_allclose(out["x"], live.x, tol=1e-10)
+    assert_allclose(out["obj_val"], live.obj_val, tol=1e-10)
+    np.testing.assert_array_equal(
+        np.asarray(out["iter"]), np.asarray(live.iter)
+    )

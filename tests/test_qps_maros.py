@@ -182,6 +182,48 @@ class TestBuckets:
         assert results[1].status_val == con.OSQP_PRIMAL_INFEASIBLE
 
 
+class TestMarosProblems:
+    """Real Maros-Meszaros problems (the Hock-Schittkowski members of
+    the set, shipped as QPS fixtures in tests/data/) solve to their
+    published optimal objectives."""
+
+    KNOWN = {
+        "HS21": -99.96,
+        "HS35": 0.1111111111,
+        "HS76": -4.6818181818,
+    }
+
+    @pytest.mark.parametrize("name", sorted(KNOWN))
+    def test_known_optimum(self, name):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", f"{name}.qps")
+        qp = parse_qps(open(path).read(), name_hint=name)
+        s = osqp_tpu.Solver(
+            qp.P, qp.q, qp.A, qp.l, qp.u,
+            polish=True, eps_abs=1e-6, eps_rel=1e-6, verbose=False,
+        )
+        r = s.solve()
+        assert r.info.status == "solved"
+        assert abs((r.info.obj_val + qp.obj_constant) - self.KNOWN[name]) < 1e-4
+
+    def test_harness_on_real_set(self):
+        import os
+
+        d = os.path.join(os.path.dirname(__file__), "data")
+        paths = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".qps")
+        )
+        rows, summary = run_maros(paths, verbose=False, polish=True)
+        assert summary["problems"] == len(paths)
+        assert summary["pass_rate"] == 1.0
+        by_name = {r["name"]: r for r in rows}
+        for name, want in self.KNOWN.items():
+            # run_maros folds obj_constant into the reported objective
+            got = by_name[name]["obj"]
+            assert abs(got - want) < 1e-3, (name, got, want)
+
+
 class TestMarosHarness:
     def test_run_maros(self, tmp_path):
         (tmp_path / "basic.qps").write_text(BASIC_QPS)
