@@ -45,44 +45,88 @@ from .dense_chol import form_schur
 # tools/profile_iter.py.
 _GEMV_MODE = os.environ.get("OSQP_TPU_GEMV_MODE", "vpu")
 
+# Factorization strategy.  "recursive": blocked 2x2 Schur recursion —
+# pure batched GEMMs on the MXU (ops/spd_inverse.py), ~30x faster than
+# "chol" (jnp cholesky + triangular solves, which serialize into O(n)
+# panel steps on TPU; see tools/profile_setup.py).
+_FACTOR_MODE = os.environ.get("OSQP_TPU_FACTOR_MODE", "recursive")
+
+# Storage dtype for the streamed operator blocks (and the A copy used
+# in rhs assembly).  "bfloat16" halves the hot loop's HBM traffic but a
+# *fixed* ~2e-3 operator error stalls ADMM above the default 1e-3
+# tolerances (measured: 0% solved at max_iter) — usable only with loose
+# eps or a future in-kernel refinement step.  Keep "float32".
+_W_DTYPE = os.environ.get("OSQP_TPU_W_DTYPE", "float32")
+
 
 def init(P, A, sigma, rho_vec, **_):
     M = form_schur(P, A, sigma, rho_vec)
-    L = jnp.linalg.cholesky(M)
     n = P.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=P.dtype), M.shape)
-    # L^-1 via a *wide* (n-rhs) triangular solve — GEMM-rich, unlike the
-    # width-1 solves the per-iteration path would need.
-    Linv = jax.lax.linalg.triangular_solve(
-        L, eye, left_side=True, lower=True, transpose_a=False
-    )
-    Minv = jnp.einsum(
-        "bkn,bkm->bnm", Linv, Linv, preferred_element_type=P.dtype,
-        precision="highest",
-    )
-    if A.shape[-2]:
-        AMinv = jnp.einsum(
-            "bmn,bnk->bmk", A, Minv, preferred_element_type=P.dtype,
+    if _FACTOR_MODE == "recursive":
+        from ..ops.spd_inverse import spd_inverse
+
+        Minv = spd_inverse(M)
+    else:
+        L = jnp.linalg.cholesky(M)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=P.dtype), M.shape)
+        # L^-1 via a *wide* (n-rhs) triangular solve — GEMM-rich, unlike
+        # the width-1 solves the per-iteration path would need.
+        Linv = jax.lax.linalg.triangular_solve(
+            L, eye, left_side=True, lower=True, transpose_a=False
+        )
+        Minv = jnp.einsum(
+            "bkn,bkm->bnm", Linv, Linv, preferred_element_type=P.dtype,
             precision="highest",
         )
-        W = jnp.concatenate([Minv, AMinv], axis=-2)  # (B, n+m, n)
+    if A.shape[-2]:
+        # (A M^-1)' = M^-1 A' stored transposed, (B, n, m): both
+        # per-iteration GEMV reductions then contract the *second-to-last*
+        # (sublane) axis — the cheap reduction direction on the VPU
+        # (M^-1 is symmetric, so it contracts either way).
+        AMinvT = jnp.einsum(
+            "bnk,bmk->bnm", Minv, A, preferred_element_type=P.dtype,
+            precision="highest",
+        )
     else:
-        W = Minv
-    return {"W": W}
+        AMinvT = jnp.zeros((P.shape[0], n, 0), P.dtype)
+    if _W_DTYPE != "float32" and P.dtype == jnp.float32:
+        wdt = jnp.dtype(_W_DTYPE)
+        return {
+            "Minv": Minv.astype(wdt),
+            "AMinvT": AMinvT.astype(wdt),
+            "A16": A.astype(wdt),
+        }
+    return {"Minv": Minv, "AMinvT": AMinvT}
+
+
+def fused_step(factor, data, dyn, rs, it, active):
+    """One fully-fused ADMM iteration in a single Pallas kernel
+    (TPU/f32 only; see ops/fused_iter.py).  Returns
+    (x+, z+, y+, dx_raw, dy_raw) with (x,z,y) frozen where inactive."""
+    from ..ops.fused_iter import fused_iteration
+
+    return fused_iteration(
+        factor, data.A, dyn.sigma, dyn.alpha, rs.rho_vec, rs.rho_inv_vec,
+        it.x, it.z, it.y, data.q, data.l, data.u, active,
+    )
 
 
 def solve(factor, A, rho_vec, rhs_x, rhs_z, x0=None):
-    n = rhs_x.shape[-1]
     t = rhs_x
+    if "A16" in factor:
+        A = factor["A16"]  # low-precision streamed copy
     if _GEMV_MODE == "vpu":
         if A.shape[-2]:
             t = t + jnp.sum(A * (rho_vec * rhs_z)[:, :, None], axis=1)
-        out = jnp.sum(factor["W"] * t[:, None, :], axis=-1)
+        # Sublane-axis contractions (see init); Minv symmetric.
+        x_t = jnp.sum(factor["Minv"] * t[:, :, None], axis=1)
+        z_t = jnp.sum(factor["AMinvT"] * t[:, :, None], axis=1)
     else:
         if A.shape[-2]:
             t = t + mat_tvec(A, rho_vec * rhs_z)
-        out = jnp.einsum(
-            "bkn,bn->bk", factor["W"], t, preferred_element_type=t.dtype,
+        gemv = lambda W: jnp.einsum(
+            "bnk,bn->bk", W, t, preferred_element_type=t.dtype,
             precision="highest",
         )
-    return out[..., :n], out[..., n:]
+        x_t, z_t = gemv(factor["Minv"]), gemv(factor["AMinvT"])
+    return x_t, z_t

@@ -1,0 +1,58 @@
+"""Multi-host (DCN) scaling helpers.
+
+The reference has no distributed layer at all (SURVEY.md §2); for the
+TPU framework the multi-host story is: initialize the jax distributed
+runtime, build a global mesh over all hosts' devices, shard the
+instance batch (ICI within a slice, DCN across hosts carries no hot-loop
+traffic — every op is batch-parallel), and aggregate results host-side.
+
+Typical Maros-Meszaros multi-host run (one process per host):
+
+    from osqp_tpu.parallel.multihost import initialize, host_shard
+    initialize()                      # jax.distributed.initialize()
+    rank, world = host_shard()
+    rows, summary = run_maros(paths, shard=(rank, world))
+    # reduce summaries across hosts with your launcher (or psum below)
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def initialize(**kwargs) -> None:
+    """jax.distributed.initialize with env-based defaults; no-op when
+    already initialized or single-process."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def host_shard() -> tuple[int, int]:
+    """(process_index, process_count) for list-sharding work."""
+    return jax.process_index(), jax.process_count()
+
+
+def global_batch_mesh(axis_name: str = "batch"):
+    """Mesh over every device in the job (all hosts)."""
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), (axis_name,))
+
+
+def allreduce_summary(summary: dict) -> dict:
+    """Sum numeric fields of a per-host summary dict across hosts using
+    one tiny collective (the only cross-host communication in the
+    framework)."""
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    keys = sorted(k for k, v in summary.items() if isinstance(v, (int, float)))
+    vals = jnp.asarray([float(summary[k]) for k in keys])
+    total = multihost_utils.process_allgather(vals).sum(axis=0)
+    out = dict(summary)
+    for k, v in zip(keys, np.asarray(total)):
+        out[k] = type(summary[k])(v) if isinstance(summary[k], int) else float(v)
+    return out

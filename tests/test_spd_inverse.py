@@ -1,0 +1,45 @@
+"""Recursive blocked SPD inversion (ops/spd_inverse.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from osqp_tpu.ops.spd_inverse import spd_inverse
+
+from conftest import assert_allclose
+
+
+def _spd(B, n, seed=0, cond=10.0):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((B, n, n))
+    S = np.einsum("bij,bkj->bik", M, M) / n + np.eye(n) / cond
+    return S
+
+
+@pytest.mark.parametrize("n", [1, 3, 8, 17, 32, 100, 130])
+def test_matches_numpy_inverse(n):
+    M = _spd(4, n, seed=n)
+    X = spd_inverse(jnp.asarray(M))
+    assert_allclose(X, np.linalg.inv(M), tol=1e-8)
+
+
+def test_identity_residual_small_f32():
+    n = 100
+    M = _spd(8, n, seed=1).astype(np.float32)
+    X = spd_inverse(jnp.asarray(M))
+    R = np.eye(n) - np.einsum("bij,bjk->bik", M, np.asarray(X))
+    assert np.max(np.abs(R)) < 1e-4
+
+
+def test_nan_propagates_for_indefinite():
+    M = _spd(2, 16, seed=2)
+    M[1] -= 3.0 * np.eye(16)  # make instance 1 indefinite
+    X = np.asarray(spd_inverse(jnp.asarray(M)))
+    assert np.all(np.isfinite(X[0]))
+    assert np.any(np.isnan(X[1]))
+
+
+def test_zero_dim():
+    M = jnp.zeros((3, 0, 0))
+    assert spd_inverse(M).shape == (3, 0, 0)

@@ -28,12 +28,18 @@ def main():
     rho_vec = jnp.full((B, m), 0.1, jnp.float32)
     sigma = jnp.float32(1e-6)
 
+    def force(out):
+        # Force completion without downloading big arrays through the
+        # tunnel: a scalar reduction depends on the whole result.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jnp.sum(leaf))
+
     def timed(name, fn, *args):
         out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:4]
+        force(out)
         t0 = time.perf_counter()
         out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:4]
+        force(out)
         print(f"{name:28s} {time.perf_counter() - t0:.4f}s", flush=True)
         return out
 
