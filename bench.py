@@ -61,10 +61,16 @@ def main():
         eps_abs=1e-3,
         eps_rel=1e-3,
     )
+    if os.environ.get("BENCH_COMPACT", "0") == "1":
+        kwargs["compact"] = True
+        kwargs["min_compact_batch"] = int(
+            os.environ.get("BENCH_COMPACT_MIN", "512")
+        )
 
-    # Compile + warm up
+    # Compile + warm up.  NB: timing must force completion with a small
+    # *download* — on the tunneled backend block_until_ready alone does
+    # not reliably block (see .claude/skills/verify).
     res = solve_batch(P, q, A, l, u, **kwargs)
-    jax.block_until_ready(res)
     status = np.asarray(res.status_val)
     solved = np.mean(status == 1)
     iters = np.asarray(res.iter)
@@ -73,7 +79,7 @@ def main():
     for _ in range(reps):
         t0 = time.perf_counter()
         res = solve_batch(P, q, A, l, u, **kwargs)
-        jax.block_until_ready(res)
+        np.asarray(res.status_val)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     qps = B / dt

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import admm as admm_mod
 from . import constants as con
 from . import linsys as linsys_registry
 from .admm import set_rho_state, solve_core
@@ -29,7 +30,14 @@ from .linalg import bwhere, norm_inf, with_high_precision
 from .polish import polish as polish_fn
 from .scaling import scale_data, unscale_solution
 from .solver import Settings, _resolve_rho_interval, validate_settings
-from .types import DynSettings, Iterates, QPData, ScalingData, StaticConfig
+from .types import (
+    DynSettings,
+    Iterates,
+    QPData,
+    ScalingData,
+    SolveResult,
+    StaticConfig,
+)
 
 
 class BatchSolveResults(NamedTuple):
@@ -47,43 +55,21 @@ class BatchSolveResults(NamedTuple):
     dual_inf_cert: Any  # (B, n)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "scaling_iters", "do_polish", "refine_iter"),
-)
-@with_high_precision
-def solve_batch_jit(
-    cfg: StaticConfig,
-    scaling_iters: int,
-    do_polish: bool,
-    refine_iter: int,
-    P,
-    q,
-    A,
-    l,
-    u,
-    rho0,
-    dyn: DynSettings,
-    x0,
-    y0,
-):
-    """End-to-end batched solve; all inputs unscaled device arrays."""
+def _prepare(cfg, scaling_iters, P, q, A, l, u, rho0, dyn, x0, y0):
+    """Scale + classify rho + factorize + warm/cold start
+    (osqp.c:192-215, 942-965)."""
     B, n = q.shape
     m = cfg.m
     dtype = q.dtype
-
     data = QPData(P=P, q=q, A=A, l=l, u=u)
     if scaling_iters > 0:
         scaled, scl = scale_data(data, scaling_iters)
     else:
         scaled, scl = data, ScalingData.identity(B, n, m, dtype)
-
     rho_state = set_rho_state(scaled, rho0)
     factor = linsys_registry.init_factor(
         cfg, scaled.P, scaled.A, dyn.sigma, rho_state.rho_vec
     )
-
-    # Warm start (osqp.c:942-965): scale iterates, z = A x
     if x0 is None:
         it = Iterates.cold(B, n, m, dtype)
     else:
@@ -91,8 +77,15 @@ def solve_batch_jit(
         ys = y0 * scl.Einv * scl.c[:, None] if m else jnp.zeros((B, m), dtype)
         zs = jnp.einsum("bmn,bn->bm", scaled.A, xs, precision="highest")
         it = Iterates(x=xs, z=zs, y=ys)
+    return scaled, scl, rho_state, factor, it
 
-    result = solve_core(cfg, scaled, scl, dyn, rho_state, factor, it)
+
+def _postprocess(cfg, do_polish, refine_iter, scaled, scl, dyn, result):
+    """Polish + store_solution + certificate normalization
+    (osqp.c:604-640, auxil.c:524-562)."""
+    B = scaled.q.shape[0]
+    m = cfg.m
+    dtype = scaled.q.dtype
     info = result.info
     it = result.iterates
 
@@ -153,6 +146,190 @@ def solve_batch_jit(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "scaling_iters", "do_polish", "refine_iter"),
+)
+@with_high_precision
+def solve_batch_jit(
+    cfg: StaticConfig,
+    scaling_iters: int,
+    do_polish: bool,
+    refine_iter: int,
+    P,
+    q,
+    A,
+    l,
+    u,
+    rho0,
+    dyn: DynSettings,
+    x0,
+    y0,
+):
+    """End-to-end batched solve; all inputs unscaled device arrays."""
+    scaled, scl, rho_state, factor, it = _prepare(
+        cfg, scaling_iters, P, q, A, l, u, rho0, dyn, x0, y0
+    )
+    result = solve_core(cfg, scaled, scl, dyn, rho_state, factor, it)
+    return _postprocess(cfg, do_polish, refine_iter, scaled, scl, dyn, result)
+
+
+# ---------------------------------------------------------------------------
+# Instance compaction (TPU-native optimization; no reference analogue)
+# ---------------------------------------------------------------------------
+# In the masked while_loop, terminated instances still cost full memory
+# bandwidth until the *slowest* instance finishes.  The compacting driver
+# runs the loop in check_termination-sized segments on the host and,
+# whenever at least half the working set has terminated, gathers the
+# still-active instances into a power-of-two-sized sub-batch (finalizing
+# and scattering the finished ones into full-size accumulators).  The
+# per-instance math is bit-identical to the plain path — compaction only
+# changes which instances share a program.
+
+_prepare_c = jax.jit(
+    with_high_precision(_prepare), static_argnames=("cfg", "scaling_iters")
+)
+_init_carry_c = jax.jit(
+    with_high_precision(admm_mod.init_carry), static_argnames=("cfg",)
+)
+_segment_c = jax.jit(
+    with_high_precision(admm_mod.run_segment), static_argnames=("cfg",)
+)
+_finalize_c = jax.jit(
+    with_high_precision(admm_mod.finalize),
+    static_argnames=("cfg", "fallback_status", "run_checks"),
+)
+_post_c = jax.jit(
+    with_high_precision(_postprocess),
+    static_argnames=("cfg", "do_polish", "refine_iter"),
+)
+
+
+def _next_pow2(v: int) -> int:
+    return 1 << max(0, (int(v) - 1)).bit_length() if v > 1 else 1
+
+
+@jax.jit
+def _gather_tree(tree, idx):
+    """Take rows ``idx`` of every batch-leading leaf (scalar and
+    non-batch leaves pass through)."""
+    Bs = idx.shape[0]
+
+    def take(a):
+        if a.ndim >= 1:
+            return a[idx]
+        return a
+
+    return jax.tree_util.tree_map(take, tree)
+
+
+@jax.jit
+def _scatter_tree(acc, sub, gidx):
+    """Write sub rows into full-size acc at global indices ``gidx``;
+    out-of-bounds indices are dropped (used for padding lanes)."""
+
+    def put(a, s):
+        return a.at[gidx].set(s, mode="drop")
+
+    return jax.tree_util.tree_map(put, acc, sub)
+
+
+def _solve_compacting(
+    cfg, scaling_iters, do_polish, refine_iter,
+    P, q, A, l, u, rho0, dyn, x0, y0, min_batch: int = 256,
+):
+    scaled, scl, rho_state, factor, it = _prepare_c(
+        cfg, scaling_iters, P, q, A, l, u, rho0, dyn, x0, y0
+    )
+    carry = _init_carry_c(cfg, scaled, rho_state, factor, it)
+    B = q.shape[0]
+    seg = cfg.check_termination if cfg.check_termination > 0 else 25
+
+    # Full-size device accumulators for the result pieces _postprocess
+    # needs; initialized from the fresh carry (overwritten via scatter).
+    acc = {
+        "it": carry.it,
+        "info": carry.info,
+        "dx": carry.delta_x,
+        "dy": carry.delta_y,
+    }
+
+    data, sclc, c = scaled, scl, carry
+    gidx = np.arange(B, dtype=np.int32)  # host mirror: local row -> global
+    k = 1
+    while k <= cfg.max_iter:
+        end = min(k + seg - 1, cfg.max_iter)
+        c = _segment_c(cfg, data, sclc, dyn, c, end)
+        k = end + 1
+        act = np.asarray(c.active)
+        na = int(act.sum())
+        if na == 0 or k > cfg.max_iter:
+            break
+        Bs = act.shape[0]
+        target = max(_next_pow2(na), int(min_batch))
+        if target > Bs // 2:
+            continue
+
+        keep = np.nonzero(act)[0]
+        drop = np.nonzero(~act)[0]
+
+        # Finalize + scatter the finished cohort (padded to a bucket so
+        # the finalize program compiles once per size).
+        dsize = max(_next_pow2(len(drop)), int(min_batch))
+        if dsize <= Bs:  # else just postpone (tiny drop set)
+            didx = np.zeros(dsize, np.int32)
+            didx[: len(drop)] = drop
+            didx_dev = jnp.asarray(didx)
+            sub_data = _gather_tree(data, didx_dev)
+            sub_scl = _gather_tree(sclc, didx_dev)
+            sub_c = _gather_tree(c, didx_dev)
+            fin = _finalize_c(cfg, sub_data, sub_scl, dyn, sub_c)
+            gsc = np.full(dsize, B, np.int32)  # OOB = dropped
+            gsc[: len(drop)] = gidx[drop]
+            acc = _scatter_tree(
+                acc,
+                {
+                    "it": fin.iterates,
+                    "info": fin.info,
+                    "dx": fin.delta_x,
+                    "dy": fin.delta_y,
+                },
+                jnp.asarray(gsc),
+            )
+
+            # Compact the active cohort.
+            kidx = np.zeros(target, np.int32)
+            kidx[:na] = keep
+            kidx_dev = jnp.asarray(kidx)
+            data = _gather_tree(data, kidx_dev)
+            sclc = _gather_tree(sclc, kidx_dev)
+            c = _gather_tree(c, kidx_dev)
+            pad_mask = jnp.asarray(np.arange(target) < na)
+            c = c._replace(active=c.active & pad_mask)
+            new_gidx = np.full(target, B, np.int32)
+            new_gidx[:na] = gidx[keep]
+            gidx = new_gidx
+
+    # Final cohort: normal finalize (fallback status for still-active).
+    fin = _finalize_c(cfg, data, sclc, dyn, c)
+    acc = _scatter_tree(
+        acc,
+        {"it": fin.iterates, "info": fin.info, "dx": fin.delta_x,
+         "dy": fin.delta_y},
+        jnp.asarray(gidx),
+    )
+
+    result = SolveResult(
+        iterates=acc["it"],
+        info=acc["info"],
+        rho_state=rho_state,
+        factor=factor,
+        delta_x=acc["dx"],
+        delta_y=acc["dy"],
+    )
+    return _post_c(cfg, do_polish, refine_iter, scaled, scl, dyn, result)
+
+
 def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
     return StaticConfig(
         n=n,
@@ -170,7 +347,10 @@ def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
     )
 
 
-def solve_batch(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResults:
+def solve_batch(
+    P, q, A, l, u, x0=None, y0=None, compact=False, min_compact_batch=256,
+    **settings,
+) -> BatchSolveResults:
     """Solve B same-shape QPs in one compiled batched program.
 
     Args:
@@ -178,6 +358,10 @@ def solve_batch(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResult
       q: (B, n); A: (B, m, n); l, u: (B, m) (entries beyond +-1e30 are
          clamped to the reference's finite infinity, constants.h:98-100).
       x0, y0: optional warm starts (unscaled).
+      compact: shrink the working batch as instances terminate (host-
+         segmented loop; per-instance results identical, saves the
+         bandwidth wasted on frozen instances when iteration counts are
+         dispersed).  ``min_compact_batch`` floors the sub-batch size.
       **settings: reference setting names (see :class:`Settings`).
 
     Returns a :class:`BatchSolveResults` of device arrays.
@@ -219,7 +403,7 @@ def solve_batch(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResult
         x0 = jnp.asarray(x0, dtype)
         y0 = jnp.asarray(y0, dtype) if y0 is not None else jnp.zeros((B, m), dtype)
 
-    return solve_batch_jit(
+    args = (
         cfg,
         int(s.scaling),
         bool(s.polish),
@@ -234,3 +418,6 @@ def solve_batch(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResult
         x0,
         y0,
     )
+    if compact:
+        return _solve_compacting(*args, min_batch=int(min_compact_batch))
+    return solve_batch_jit(*args)

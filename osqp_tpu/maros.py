@@ -54,9 +54,17 @@ def run_maros(
     single: bool = False,
     max_iter: int = 4000,
     dtype=None,
+    fallback_dtype=None,
     shard: tuple[int, int] | None = None,
     verbose: bool = True,
 ):
+    """Solve a QPS file list; returns (per-problem rows, summary).
+
+    ``fallback_dtype``: problems that fail to solve in the primary dtype
+    (e.g. f32 on TPU losing to ill-conditioning that Ruiz cannot fix —
+    SURVEY.md §7 'hard parts') are retried one-by-one in this dtype
+    (typically "float64"); the row gains ``fallback=True``.
+    """
     problems = []
     for p in paths:
         qp = load_qps(p)
@@ -121,6 +129,29 @@ def run_maros(
                     time=float("nan"),
                 )
             )
+    # f64 (or other) fallback for unsolved problems
+    if fallback_dtype is not None:
+        from .solver import Solver
+
+        fb_settings = dict(settings)
+        fb_settings["dtype"] = fallback_dtype
+        by_name = {qp.name: qp for qp in problems}
+        for r in rows:
+            if r["status_val"] in (con.OSQP_SOLVED, con.OSQP_SOLVED_INACCURATE):
+                continue
+            qp = by_name[r["name"]]
+            s = Solver(P=qp.P, q=qp.q, A=qp.A, l=qp.l, u=qp.u, **fb_settings)
+            rr = s.solve()
+            r.update(
+                status=rr.info.status,
+                status_val=rr.info.status_val,
+                iter=rr.info.iter,
+                obj=rr.info.obj_val + qp.obj_constant,
+                pri_res=rr.info.pri_res,
+                dua_res=rr.info.dua_res,
+                fallback=True,
+            )
+
     total_time = time.perf_counter() - t0
 
     solved = sum(
@@ -153,6 +184,7 @@ def main(argv=None):
     ap.add_argument("--single", action="store_true")
     ap.add_argument("--max-iter", type=int, default=4000)
     ap.add_argument("--dtype", default=None)
+    ap.add_argument("--fallback-dtype", default=None)
     ap.add_argument("--shard", default=None, help="i/k host shard")
     args = ap.parse_args(argv)
 
@@ -172,6 +204,7 @@ def main(argv=None):
         single=args.single,
         max_iter=args.max_iter,
         dtype=args.dtype,
+        fallback_dtype=args.fallback_dtype,
         shard=shard,
     )
     return 0 if summary["pass_rate"] == 1.0 else 2

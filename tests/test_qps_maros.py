@@ -237,6 +237,22 @@ class TestMarosHarness:
         by_name = {r["name"]: r for r in rows}
         assert abs(by_name["BASICQP"]["obj"] - 0.88) < 1e-3
 
+    def test_fallback_dtype_rescues_unsolved(self, tmp_path):
+        """eps = 1e-9 is unreachable in float32 (SURVEY.md §7 'f32
+        Maros-Meszaros' hard part); the f64 fallback pass rescues the
+        problem and flags the row."""
+        (tmp_path / "basic.qps").write_text(BASIC_QPS)
+        rows, summary = run_maros(
+            [str(tmp_path / "basic.qps")],
+            eps=1e-9,
+            dtype="float32",
+            fallback_dtype="float64",
+            verbose=False,
+        )
+        assert rows[0].get("fallback") is True
+        assert rows[0]["status"] == "solved"
+        assert summary["pass_rate"] == 1.0
+
     def test_run_maros_single_mode(self, tmp_path):
         (tmp_path / "basic.qps").write_text(BASIC_QPS)
         rows, summary = run_maros(
