@@ -1,5 +1,6 @@
 """Multi-chip sharding of QP batches over a jax Mesh."""
 
+from .intra import solve_single_sharded  # noqa: F401
 from .mesh import make_mesh, solve_batch_sharded  # noqa: F401
 from .multihost import (  # noqa: F401
     allreduce_summary,
