@@ -35,12 +35,16 @@ from .constants import (
     NonConvexError,
     OSQPError,
 )
+from .diff import make_qp_layer
+from .parametric import BatchedSolver
 from .solver import OSQP, Info, Results, Settings, Solver
 from .types import DynSettings, QPData, ScalingData, StaticConfig
 
 __all__ = [
     "OSQP",
     "Solver",
+    "BatchedSolver",
+    "make_qp_layer",
     "Settings",
     "Info",
     "Results",
