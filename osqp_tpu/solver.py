@@ -552,6 +552,30 @@ class Solver:
             it = Iterates(x=it.x, z=it.z, y=ys)
         self.iterates = it
 
+    def update(self, **kwargs):
+        """osqp-python-style combined update: accepts q, l, u, Px,
+        Px_idx, Ax, Ax_idx (matching the reference Python interface's
+        ``m.update(...)``) and dispatches to the specific update paths."""
+        self._require_setup()
+        allowed = {"q", "l", "u", "Px", "Px_idx", "Ax", "Ax_idx"}
+        unknown = set(kwargs) - allowed
+        if unknown:
+            raise OSQPError(
+                ErrorCode.DATA_VALIDATION_ERROR,
+                f"update: unknown arguments {sorted(unknown)}",
+            )
+        if "q" in kwargs:
+            self.update_lin_cost(kwargs["q"])
+        if "l" in kwargs or "u" in kwargs:
+            self.update_bounds(l=kwargs.get("l"), u=kwargs.get("u"))
+        if "Px" in kwargs or "Ax" in kwargs:
+            self.update_P_A(
+                Px=kwargs.get("Px"),
+                Px_idx=kwargs.get("Px_idx"),
+                Ax=kwargs.get("Ax"),
+                Ax_idx=kwargs.get("Ax_idx"),
+            )
+
     # -- data updates ---------------------------------------------------------
     def _start_update_timer(self):
         if self._clear_update_time:

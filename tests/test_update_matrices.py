@@ -125,3 +125,28 @@ def test_update_P_wrong_nnz_rejected():
         s.update_P(Px=np.ones(Pu.nnz + 3), Px_idx=None)
     with pytest.raises(osqp_tpu.OSQPError):
         s.update_P(Px=np.ones(2), Px_idx=np.array([0, Pu.nnz + 5]))
+
+
+def test_combined_update_method():
+    """osqp-python-style m.update(q=..., l=..., Px=..., Ax=...) combined
+    dispatch equals the individual update calls."""
+    import pytest
+
+    Pu, q, A, l, u, Pu_new, A_new = generate()
+    s1 = make(Pu, q, A, l, u)
+    q2 = q + 0.1
+    l2 = l - 0.5
+    s1.update(q=q2, l=l2, Px=Pu_new.data, Ax=A_new.data)
+    r1 = s1.solve()
+
+    s2 = make(Pu, q, A, l, u)
+    s2.update_lin_cost(q2)
+    s2.update_bounds(l=l2)
+    s2.update_P_A(Px=Pu_new.data, Ax=A_new.data)
+    r2 = s2.solve()
+
+    assert r1.info.iter == r2.info.iter
+    assert_allclose(r1.x, r2.x, tol=1e-12)
+
+    with pytest.raises(osqp_tpu.OSQPError):
+        s1.update(bogus=1.0)
