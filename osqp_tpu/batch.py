@@ -213,7 +213,6 @@ def _next_pow2(v: int) -> int:
 def _gather_tree(tree, idx):
     """Take rows ``idx`` of every batch-leading leaf (scalar and
     non-batch leaves pass through)."""
-    Bs = idx.shape[0]
 
     def take(a):
         if a.ndim >= 1:
@@ -274,9 +273,10 @@ def _solve_compacting(
         drop = np.nonzero(~act)[0]
 
         # Finalize + scatter the finished cohort (padded to a bucket so
-        # the finalize program compiles once per size).
-        dsize = max(_next_pow2(len(drop)), int(min_batch))
-        if dsize <= Bs:  # else just postpone (tiny drop set)
+        # the finalize program compiles once per size; capped at Bs so a
+        # large drop set on a non-power-of-two batch still compacts).
+        dsize = min(max(_next_pow2(len(drop)), int(min_batch)), Bs)
+        if dsize >= len(drop):
             didx = np.zeros(dsize, np.int32)
             didx[: len(drop)] = drop
             didx_dev = jnp.asarray(didx)

@@ -59,25 +59,44 @@ _FACTOR_MODE = os.environ.get("OSQP_TPU_FACTOR_MODE", "recursive")
 _W_DTYPE = os.environ.get("OSQP_TPU_W_DTYPE", "float32")
 
 
+def _chol_inverse(M):
+    """Explicit inverse via XLA cholesky + wide triangular solves —
+    numerically the classic route, but its sequential panel steps are
+    ~30x slower than the recursive path on TPU (tools/profile_setup.py)."""
+    n = M.shape[-1]
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    Linv = jax.lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True, transpose_a=False
+    )
+    return jnp.einsum(
+        "bkn,bkm->bnm", Linv, Linv, preferred_element_type=M.dtype,
+        precision="highest",
+    )
+
+
 def init(P, A, sigma, rho_vec, **_):
     M = form_schur(P, A, sigma, rho_vec)
     n = P.shape[-1]
-    if _FACTOR_MODE == "recursive":
+    if _FACTOR_MODE == "recursive" and n:
         from ..ops.spd_inverse import spd_inverse
 
-        Minv = spd_inverse(M)
-    else:
-        L = jnp.linalg.cholesky(M)
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=P.dtype), M.shape)
-        # L^-1 via a *wide* (n-rhs) triangular solve — GEMM-rich, unlike
-        # the width-1 solves the per-iteration path would need.
-        Linv = jax.lax.linalg.triangular_solve(
-            L, eye, left_side=True, lower=True, transpose_a=False
-        )
-        Minv = jnp.einsum(
-            "bkn,bkm->bnm", Linv, Linv, preferred_element_type=P.dtype,
+        X = spd_inverse(M)
+        # Residual guard: if any instance's inverse is inaccurate
+        # (kappa beyond what the recursion+Newton-Schulz handles in this
+        # dtype), recompute the whole batch via cholesky.  NaN instances
+        # (non-PD) do NOT trigger the fallback — NaN is the convexity
+        # signal and the cholesky route would produce it too.
+        R = jnp.eye(n, dtype=M.dtype) - jnp.einsum(
+            "bij,bjk->bik", M, X, preferred_element_type=M.dtype,
             precision="highest",
         )
+        resid = jnp.max(jnp.abs(R), axis=(-2, -1))
+        tol = 1e-3 if M.dtype == jnp.float32 else 1e-8
+        bad = jnp.any(resid > tol)  # NaN > tol is False
+        Minv = jax.lax.cond(bad, _chol_inverse, lambda M_: X, M)
+    else:
+        Minv = _chol_inverse(M) if n else M
     if A.shape[-2]:
         # (A M^-1)' = M^-1 A' stored transposed, (B, n, m): both
         # per-iteration GEMV reductions then contract the *second-to-last*

@@ -129,17 +129,24 @@ def run_maros(
                     time=float("nan"),
                 )
             )
-    # f64 (or other) fallback for unsolved problems
+    # f64 (or other) fallback for problems that failed *numerically*.
+    # Infeasibility verdicts carry certificates and are final — retrying
+    # them would relabel a legitimate detection as a precision issue.
+    _final_statuses = (
+        con.OSQP_SOLVED,
+        con.OSQP_SOLVED_INACCURATE,
+        con.OSQP_PRIMAL_INFEASIBLE,
+        con.OSQP_DUAL_INFEASIBLE,
+    )
     if fallback_dtype is not None:
         from .solver import Solver
 
         fb_settings = dict(settings)
         fb_settings["dtype"] = fallback_dtype
-        by_name = {qp.name: qp for qp in problems}
-        for r in rows:
-            if r["status_val"] in (con.OSQP_SOLVED, con.OSQP_SOLVED_INACCURATE):
+        # rows is in problems order in both the single and batched paths
+        for r, qp in zip(rows, problems):
+            if r["status_val"] in _final_statuses:
                 continue
-            qp = by_name[r["name"]]
             s = Solver(P=qp.P, q=qp.q, A=qp.A, l=qp.l, u=qp.u, **fb_settings)
             rr = s.solve()
             r.update(

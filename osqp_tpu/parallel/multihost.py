@@ -23,11 +23,14 @@ import numpy as np
 
 def initialize(**kwargs) -> None:
     """jax.distributed.initialize with env-based defaults; no-op when
-    already initialized or single-process."""
+    already initialized.  Genuine startup failures (bad coordinator
+    address, unreachable hosts) propagate — swallowing them would leave
+    every host silently solving the full workload alone."""
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def host_shard() -> tuple[int, int]:
@@ -43,16 +46,24 @@ def global_batch_mesh(axis_name: str = "batch"):
 
 
 def allreduce_summary(summary: dict) -> dict:
-    """Sum numeric fields of a per-host summary dict across hosts using
-    one tiny collective (the only cross-host communication in the
-    framework)."""
+    """Sum the *count* fields of a per-host summary dict across hosts
+    using one tiny collective (the only cross-host communication in the
+    framework), then recompute the derived ratios (pass_rate is
+    sum(solved)/sum(problems), not a sum of per-host rates)."""
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
 
-    keys = sorted(k for k, v in summary.items() if isinstance(v, (int, float)))
+    derived = {"pass_rate"}
+    keys = sorted(
+        k
+        for k, v in summary.items()
+        if isinstance(v, (int, float)) and k not in derived
+    )
     vals = jnp.asarray([float(summary[k]) for k in keys])
     total = multihost_utils.process_allgather(vals).sum(axis=0)
     out = dict(summary)
     for k, v in zip(keys, np.asarray(total)):
         out[k] = type(summary[k])(v) if isinstance(summary[k], int) else float(v)
+    if "solved" in out and "problems" in out:
+        out["pass_rate"] = out["solved"] / max(out["problems"], 1)
     return out

@@ -40,9 +40,9 @@ from .batch import (
     _prepare_c,
     make_config,
 )
-from .admm import rho_vec_from_type, set_rho_state, solve_core, update_rho_state
+from .admm import rho_vec_from_type, solve_core, update_rho_state
 from .linalg import with_high_precision
-from .solver import Settings, _resolve_rho_interval, validate_settings
+from .solver import Settings, validate_settings
 from .solver import _device_refactor
 from .types import DynSettings, Iterates, QPData
 
@@ -95,12 +95,15 @@ class BatchedSolver:
     def _clamp(self, v):
         return jnp.clip(jnp.asarray(v, self._dtype), -con.OSQP_INFTY, con.OSQP_INFTY)
 
-    def _setup_data(self, P, q, A, l, u, rho: float):
+    def _setup_data(self, P, q, A, l, u, rho):
         dtype = self._dtype
         P = jnp.asarray(P, dtype)
         q = jnp.asarray(q, dtype)
         A = jnp.asarray(A, dtype)
-        rho0 = jnp.full((self.B,), rho, dtype)
+        # rho may be a scalar (fresh setup) or the (B,) per-instance
+        # adapted values (matrix updates preserve each instance's rho,
+        # matching B independent Solvers).
+        rho0 = jnp.broadcast_to(jnp.asarray(rho, dtype), (self.B,))
         scaled, scl, rho_state, factor, _ = _prepare_c(
             self._cfg, int(self.settings.scaling), P, q, A,
             self._clamp(l), self._clamp(u), rho0, self._dyn, None, None,
@@ -145,6 +148,11 @@ class BatchedSolver:
         (osqp.c:797-846)."""
         ls = self.data.l if l is None else self._clamp(l) * self.scaling.E
         us = self.data.u if u is None else self._clamp(u) * self.scaling.E
+        if bool(jnp.any(ls > us)):
+            raise con.OSQPError(
+                con.ErrorCode.DATA_VALIDATION_ERROR,
+                "lower bound must be lower than or equal to upper bound",
+            )
         self.data = dataclasses.replace(self.data, l=ls, u=us)
         self.rho_state, changed = update_rho_state(self.data, self.rho_state)
         if bool(jnp.any(changed)):
@@ -194,7 +202,7 @@ class BatchedSolver:
         )
         l_u = self._clamp(l) if l is not None else self.data.l * Einv
         u_u = self._clamp(u) if u is not None else self.data.u * Einv
-        self._setup_data(P_u, q_u, A_u, l_u, u_u, rho=float(self.rho_state.rho[0]))
+        self._setup_data(P_u, q_u, A_u, l_u, u_u, rho=self.rho_state.rho)
 
     def update_A(self, A_new):
         self.update_P(A_new=A_new)

@@ -564,6 +564,11 @@ class Solver:
                 ErrorCode.DATA_VALIDATION_ERROR,
                 f"update: unknown arguments {sorted(unknown)}",
             )
+        if not (set(kwargs) & {"q", "l", "u", "Px", "Ax"}):
+            raise OSQPError(
+                ErrorCode.DATA_VALIDATION_ERROR,
+                "update: nothing to update (indices without values?)",
+            )
         if "q" in kwargs:
             self.update_lin_cost(kwargs["q"])
         if "l" in kwargs or "u" in kwargs:

@@ -43,3 +43,28 @@ def test_nan_propagates_for_indefinite():
 def test_zero_dim():
     M = jnp.zeros((3, 0, 0))
     assert spd_inverse(M).shape == (3, 0, 0)
+
+
+def test_dense_inv_residual_fallback_f32():
+    """An instance too ill-conditioned for the f32 recursion triggers
+    dense_inv's residual-guarded cholesky fallback; the returned inverse
+    must still be usable (residual below the ADMM-grade threshold)."""
+    from osqp_tpu.linsys import dense_inv
+
+    rng = np.random.default_rng(3)
+    n = 64
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    ev = np.logspace(0, 7, n)  # cond 1e7: hopeless for f32 recursion
+    M_bad = ((Q * ev) @ Q.T).astype(np.float32)
+    M_bad = 0.5 * (M_bad + M_bad.T)
+    P = jnp.asarray(M_bad[None])
+    A = jnp.zeros((1, 0, n), jnp.float32)
+    factor = dense_inv.init(P, A, jnp.float32(0.0), jnp.zeros((1, 0), jnp.float32))
+    X = np.asarray(factor["Minv"])
+    assert np.isfinite(X).all()
+    # The guard must have selected the cholesky branch: result equals
+    # _chol_inverse exactly (the raw recursion differs by >> tol here).
+    X_chol = np.asarray(dense_inv._chol_inverse(P))
+    np.testing.assert_array_equal(X, X_chol)
+    X_rec = np.asarray(spd_inverse(P))
+    assert np.abs(X_rec - X_chol).max() > 0.0  # branches truly differ
