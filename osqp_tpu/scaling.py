@@ -49,48 +49,76 @@ def _col_norms_kkt(P: jax.Array, A: jax.Array):
 
 
 def scale_data(data: QPData, n_iters: int) -> tuple[QPData, ScalingData]:
-    """Run ``n_iters`` Ruiz sweeps (scaling.c:44-156). Returns scaled data."""
+    """Run ``n_iters`` Ruiz sweeps (scaling.c:44-156). Returns scaled data.
+
+    The sweeps are *read-only over P and A*: the scaled matrices are
+    never materialized per sweep; instead the accumulated (c, D, E) are
+    folded into the norm computations on the fly (colnorm of c·DPD is
+    c·D_j·max_i D_i|P_ij|, etc.) and applied to P/A once at the end.
+    This is algebraically identical to the reference's in-place loop but
+    streams ~3x less HBM per sweep — the big matrices are only read.
+    """
     B, n = data.q.shape
     m = data.l.shape[-1]
     dtype = data.q.dtype
+    absP = jnp.abs(data.P)
+    absA = jnp.abs(data.A)
+    q0 = data.q
 
     def sweep(carry, _):
-        P, A, q, c, D, E = carry
+        c, D, E = carry
 
-        d, e = _col_norms_kkt(P, A)
-        d = 1.0 / jnp.sqrt(limit_scaling(d))
-        e = 1.0 / jnp.sqrt(limit_scaling(e))
-
-        P = d[:, :, None] * P * d[:, None, :]
-        A = e[:, :, None] * A * d[:, None, :]
-        q = d * q
+        # Column norms of the *currently scaled* KKT, computed from the
+        # unscaled matrices + accumulated scalings (_col_norms_kkt on
+        # c·DPD / EAD; the cost scalar c does not enter the reference's
+        # KKT column norms — it scales P and q only after, and the next
+        # sweep's norms in the reference DO see it on P).
+        Pn = (
+            jnp.max(absP * D[:, :, None], axis=-2) * D * c[:, None]
+            if n
+            else jnp.zeros((B, n), dtype)
+        )
+        if m:
+            An_col = jnp.max(absA * E[:, :, None], axis=-2) * D
+            e_norm = jnp.max(absA * D[:, None, :], axis=-1) * E
+            d_norm = jnp.maximum(Pn, An_col)
+        else:
+            e_norm = jnp.zeros((B, m), dtype)
+            d_norm = Pn
+        d = 1.0 / jnp.sqrt(limit_scaling(d_norm))
+        e = 1.0 / jnp.sqrt(limit_scaling(e_norm))
         D = D * d
         E = E * e
 
-        # Cost normalization (scaling.c:110-141)
-        col_norm_P = jnp.max(jnp.abs(P), axis=-2) if n else P.sum(axis=-2)
+        # Cost normalization (scaling.c:110-141) on the scaled P, q
+        col_norm_P = (
+            jnp.max(absP * D[:, :, None], axis=-2) * D * c[:, None]
+            if n
+            else jnp.zeros((B, n), dtype)
+        )
         c_temp = jnp.mean(col_norm_P, axis=-1)
-        inf_norm_q = limit_scaling(jnp.max(jnp.abs(q), axis=-1))
+        inf_norm_q = limit_scaling(
+            jnp.max(jnp.abs(q0) * D, axis=-1) * c
+        )
         c_temp = limit_scaling(jnp.maximum(c_temp, inf_norm_q))
-        c_temp = 1.0 / c_temp
-
-        P = c_temp[:, None, None] * P
-        q = c_temp[:, None] * q
-        c = c * c_temp
-        return (P, A, q, c, D, E), None
+        c = c / c_temp
+        return (c, D, E), None
 
     init = (
-        data.P,
-        data.A,
-        data.q,
         jnp.ones((B,), dtype),
         jnp.ones((B, n), dtype),
         jnp.ones((B, m), dtype),
     )
-    (P, A, q, c, D, E), _ = jax.lax.scan(sweep, init, None, length=n_iters)
+    (c, D, E), _ = jax.lax.scan(sweep, init, None, length=n_iters)
 
     scl = ScalingData(c=c, cinv=1.0 / c, D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E)
-    scaled = QPData(P=P, q=q, A=A, l=E * data.l, u=E * data.u)
+    scaled = QPData(
+        P=c[:, None, None] * (D[:, :, None] * data.P * D[:, None, :]),
+        q=c[:, None] * (D * q0),
+        A=E[:, :, None] * data.A * D[:, None, :],
+        l=E * data.l,
+        u=E * data.u,
+    )
     return scaled, scl
 
 
