@@ -552,6 +552,34 @@ class Solver:
             it = Iterates(x=it.x, z=it.z, y=ys)
         self.iterates = it
 
+    def export(self, path: str | None = None, B: int = 1) -> bytes:
+        """AOT-serialize a compiled solver for this problem's shape and
+        the current settings — the EMBEDDED/codegen workflow of the
+        reference (CMakeLists.txt:48-55) as a deployable artifact.
+
+        The blob solves any (B, n, m)-shaped data via
+        :func:`osqp_tpu.export.load_solver`; optionally written to
+        ``path``."""
+        self._require_setup()
+        from .export import export_solver
+
+        blob = export_solver(
+            B,
+            self.n,
+            self.m,
+            dtype=str(self._dtype),
+            **{
+                f.name: getattr(self.settings, f.name)
+                for f in dataclasses.fields(Settings)
+                if f.name not in ("dtype", "verbose", "time_limit")
+            },
+            verbose=False,
+        )
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(blob)
+        return blob
+
     def update(self, **kwargs):
         """osqp-python-style combined update: accepts q, l, u, Px,
         Px_idx, Ax, Ax_idx (matching the reference Python interface's

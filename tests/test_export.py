@@ -21,6 +21,26 @@ def _problems(B, n, m, seed=0):
     return P, q, A, l, u
 
 
+def test_solver_export_method(tmp_path):
+    """Solver.export writes a loadable artifact matching the live solve."""
+    import osqp_tpu
+    from osqp_tpu.export import load_solver
+
+    P, q, A, l, u = (v[:1] for v in _problems(1, 5, 8, seed=4))
+    s = osqp_tpu.Solver(
+        P=P[0], q=q[0], A=A[0], l=l[0], u=u[0],
+        verbose=False, polish=True, dtype="float64",
+    )
+    live = s.solve()
+    path = tmp_path / "solver.bin"
+    blob = s.export(str(path))
+    assert path.read_bytes() == blob
+    fn = load_solver(blob)
+    out = fn(*(np.asarray(v, np.float64) for v in (P, q, A, l, u)))
+    assert int(np.asarray(out["status_val"])[0]) == 1
+    assert_allclose(out["x"][0], live.x, tol=1e-9)
+
+
 def test_export_roundtrip_matches_live_solve():
     B, n, m = 4, 6, 9
     P, q, A, l, u = _problems(B, n, m)
