@@ -1,0 +1,85 @@
+"""Ctrl-C handling (src/ctrlc.c analogue) and console reporting
+(src/util.c:42-236 columns) — the remaining observability behaviors."""
+
+import numpy as np
+import pytest
+
+import osqp_tpu
+from osqp_tpu import constants as con
+from osqp_tpu.solver import Solver
+import osqp_tpu.solver as solver_mod
+
+
+def _problem():
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    l = np.array([1.0, 0.0, 0.0])
+    u = np.array([1.0, 0.7, 0.7])
+    return P, q, A, l, u
+
+
+def test_sigint_between_segments(monkeypatch):
+    """A KeyboardInterrupt during the segmented solve yields the
+    reference's OSQP_SIGINT status (osqp.c:377-385): 'interrupted by
+    user', no further checks, solver still usable."""
+    P, q, A, l, u = _problem()
+    # unreachable tolerance => many segments, so the interrupt lands
+    # mid-solve (a converged problem would exit in segment one)
+    s = Solver(
+        P, q, A, l, u, verbose=False, time_limit=1e6, max_iter=4000,
+        eps_abs=0.0, eps_rel=1e-18,
+    )
+
+    real_segment = solver_mod._device_segment
+    calls = {"n": 0}
+
+    def interrupting_segment(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise KeyboardInterrupt
+        return real_segment(*args, **kw)
+
+    monkeypatch.setattr(solver_mod, "_device_segment", interrupting_segment)
+    res = s.solve()
+    assert res.info.status_val == con.OSQP_SIGINT
+    assert res.info.status == "interrupted"  # auxil.c:675
+
+    # Workspace remains usable: a clean re-solve succeeds
+    monkeypatch.setattr(solver_mod, "_device_segment", real_segment)
+    s.update_eps_abs(1e-3)
+    s.update_eps_rel(1e-3)
+    res2 = s.solve()
+    assert res2.info.status_val == con.OSQP_SOLVED
+
+
+def test_time_limit_status():
+    """Time limit with *unreachable* tolerances stays TIME_LIMIT_REACHED.
+    (With reachable tolerances the reference also flips to solved after
+    the break — osqp.c:575-590 runs the final checks — so the status is
+    only TIME_LIMIT when the final plain+approximate checks fail.)"""
+    P, q, A, l, u = _problem()
+    s = Solver(
+        P, q, A, l, u, verbose=False, time_limit=1e-9,
+        check_termination=0, max_iter=100000,
+        eps_abs=0.0, eps_rel=1e-18,
+    )
+    res = s.solve()
+    assert res.info.status_val == con.OSQP_TIME_LIMIT_REACHED
+    assert res.info.status == "run time limit reached"
+
+
+def test_verbose_output_columns(capsys):
+    """Header/rows/footer carry the reference's columns
+    (print_setup_header / print_summary / print_footer)."""
+    P, q, A, l, u = _problem()
+    s = Solver(P, q, A, l, u, verbose=True, polish=True)
+    res = s.solve()
+    out = capsys.readouterr().out
+    assert "Operator Splitting QP Solver" in out
+    assert "variables n = 2, constraints m = 3" in out
+    assert "iter " in out and "objective" in out and "pri res" in out
+    assert "status:" in out and "solved" in out
+    assert "number of iterations:" in out
+    assert "optimal rho estimate" in out
+    assert res.info.status_val == con.OSQP_SOLVED
