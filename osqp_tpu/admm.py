@@ -118,6 +118,8 @@ def _use_fused_step(cfg: StaticConfig, backend) -> bool:
         and cfg.jdtype == jnp.float32
         and jax.default_backend() == "tpu"
         and os.environ.get("OSQP_TPU_FUSED", "0") == "1"
+        # the Pallas kernel reads batch-major operands
+        and os.environ.get("OSQP_TPU_BATCH_MINOR", "0") != "1"
     )
 
 
@@ -215,6 +217,7 @@ def _apply_rho_adaptation(cfg, data, dyn, c: _Carry) -> _Carry:
     )
     tol = dyn.adaptive_rho_tolerance
     upd = c.active & ((est > rs.rho * tol) | (est < rs.rho / tol))
+    backend = linsys_registry.get(cfg.linsys_solver)
 
     def select_factor(new, old):
         # cg factors carry unbatched scalar config leaves; they are
@@ -234,7 +237,13 @@ def _apply_rho_adaptation(cfg, data, dyn, c: _Carry) -> _Carry:
         new_factor = linsys_registry.init_factor(
             cfg, data.P, data.A, dyn.sigma, new_rv
         )
-        factor = jax.tree_util.tree_map(select_factor, new_factor, factor)
+        # Backends with non-batch-leading factor layouts provide their
+        # own per-instance select (dense_inv's batch-minor mode).
+        sel_hook = getattr(backend, "select_factor", None)
+        if sel_hook is not None:
+            factor = sel_hook(upd, new_factor, factor)
+        else:
+            factor = jax.tree_util.tree_map(select_factor, new_factor, factor)
         new_info = replace(info, rho_updates=info.rho_updates + upd.astype(jnp.int32))
         return new_rs, factor, new_info
 

@@ -58,6 +58,17 @@ _FACTOR_MODE = os.environ.get("OSQP_TPU_FACTOR_MODE", "recursive")
 # eps or a future in-kernel refinement step.  Keep "float32".
 _W_DTYPE = os.environ.get("OSQP_TPU_W_DTYPE", "float32")
 
+# Batch-minor operand layout for the hot loop.  XLA stores f32 arrays in
+# (8, 128) tiles over the last two dims, so batch-major operands pad
+# n=100 -> 104/128 etc. (~+31% HBM traffic; see docs/performance.md).
+# With the *batch* as the minor (lane) dimension — Minv (n, n, B),
+# (M^-1 A') (n, m, B), A (m, n, B) — padding falls to the sublane dim
+# only (~+2% for typical shapes, 0 when n, m are multiples of 8) and the
+# GEMV reductions become outer-axis sums (plain vector adds on the VPU).
+# Vectors stay batch-major; the per-iteration transposes of (B, n)/(B, m)
+# vectors are noise next to the operand streams.
+_BATCH_MINOR = os.environ.get("OSQP_TPU_BATCH_MINOR", "0") == "1"
+
 
 def _chol_inverse(M):
     """Explicit inverse via XLA cholesky + wide triangular solves —
@@ -115,7 +126,37 @@ def init(P, A, sigma, rho_vec, **_):
             "AMinvT": AMinvT.astype(wdt),
             "A16": A.astype(wdt),
         }
+    if _BATCH_MINOR:
+        bm = lambda a: jnp.transpose(a, (1, 2, 0))  # one-time relayout
+        return {
+            "Minv_bm": bm(Minv),       # (n, n, B)
+            "AMinvT_bm": bm(AMinvT),   # (n, m, B)
+            "A_bm": bm(A),             # (m, n, B)
+        }
     return {"Minv": Minv, "AMinvT": AMinvT}
+
+
+def select_factor(upd, new, old):
+    """Per-instance factor select for rho adaptation — batch-minor
+    leaves mask the *last* axis, batch-major ones the first."""
+
+    def sel(key, n, o):
+        if n.ndim == 0:
+            return n
+        if key.endswith("_bm"):
+            return jnp.where(upd[(None,) * (n.ndim - 1)], n, o)
+        return jnp.where(upd.reshape(upd.shape + (1,) * (n.ndim - 1)), n, o)
+
+    return {k: sel(k, new[k], old[k]) for k in new}
+
+
+def gather_factor(factor, idx):
+    """Instance gather for the compaction driver — batch axis is last
+    for ``*_bm`` leaves, first otherwise."""
+    return {
+        k: (a[..., idx] if k.endswith("_bm") else a[idx])
+        for k, a in factor.items()
+    }
 
 
 def fused_step(factor, data, dyn, rs, it, active):
@@ -131,6 +172,15 @@ def fused_step(factor, data, dyn, rs, it, active):
 
 
 def solve(factor, A, rho_vec, rhs_x, rhs_z, x0=None):
+    if "Minv_bm" in factor:
+        # Batch-minor path: operands (., ., B); reductions over axis 0.
+        t = rhs_x.T  # (n, B)
+        if A.shape[-2]:
+            vT = (rho_vec * rhs_z).T  # (m, B)
+            t = t + jnp.sum(factor["A_bm"] * vT[:, None, :], axis=0)
+        x_t = jnp.sum(factor["Minv_bm"] * t[:, None, :], axis=0)
+        z_t = jnp.sum(factor["AMinvT_bm"] * t[:, None, :], axis=0)
+        return x_t.T, z_t.T
     t = rhs_x
     if "A16" in factor:
         A = factor["A16"]  # low-precision streamed copy
