@@ -30,7 +30,9 @@ def main():
     u = jnp.asarray(Ax + 2.0)
     target = jnp.asarray(x_mid * 0.5)
 
-    layer = make_qp_layer(eps_abs=1e-9, eps_rel=1e-9)
+    # f64 so the tight tolerance is actually reachable (the gradient
+    # assumes an accurate optimum; f32 would stall at max_iter here)
+    layer = make_qp_layer(eps_abs=1e-9, eps_rel=1e-9, dtype="float64")
 
     def loss(q):
         x = layer(P, q, A, l, u)

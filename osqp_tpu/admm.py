@@ -112,14 +112,17 @@ def _use_fused_step(cfg: StaticConfig, backend) -> bool:
     instance compaction) where manual control pays."""
     import os
 
+    from .linsys import dense_inv
+
     return (
         hasattr(backend, "fused_step")
         and cfg.m > 0
         and cfg.jdtype == jnp.float32
         and jax.default_backend() == "tpu"
         and os.environ.get("OSQP_TPU_FUSED", "0") == "1"
-        # the Pallas kernel reads batch-major operands
-        and os.environ.get("OSQP_TPU_BATCH_MINOR", "0") != "1"
+        # the Pallas kernel reads batch-major operands; consult the
+        # layout the backend actually froze at import time
+        and not dense_inv._BATCH_MINOR
     )
 
 

@@ -119,19 +119,22 @@ def init(P, A, sigma, rho_vec, **_):
         )
     else:
         AMinvT = jnp.zeros((P.shape[0], n, 0), P.dtype)
-    if _W_DTYPE != "float32" and P.dtype == jnp.float32:
-        wdt = jnp.dtype(_W_DTYPE)
-        return {
-            "Minv": Minv.astype(wdt),
-            "AMinvT": AMinvT.astype(wdt),
-            "A16": A.astype(wdt),
-        }
+    # Layout/storage modes are mutually exclusive; batch-minor wins if
+    # both env vars are set (the bf16 mode is a documented-broken
+    # experiment anyway).
     if _BATCH_MINOR:
         bm = lambda a: jnp.transpose(a, (1, 2, 0))  # one-time relayout
         return {
             "Minv_bm": bm(Minv),       # (n, n, B)
             "AMinvT_bm": bm(AMinvT),   # (n, m, B)
             "A_bm": bm(A),             # (m, n, B)
+        }
+    if _W_DTYPE != "float32" and P.dtype == jnp.float32:
+        wdt = jnp.dtype(_W_DTYPE)
+        return {
+            "Minv": Minv.astype(wdt),
+            "AMinvT": AMinvT.astype(wdt),
+            "A16": A.astype(wdt),
         }
     return {"Minv": Minv, "AMinvT": AMinvT}
 

@@ -48,6 +48,8 @@ def test_basic_qp2_solve():
     s = _make()
     res = s.solve()
     assert res.info.status_val == con.OSQP_SOLVED
+    # NB: the reference divides by x_test_NEW even for the initial
+    # solve (test_basic_qp2.h:47-58) — ported literally.
     assert _rel_err(res.x, X_TEST, X_NEW) < TESTS_TOL
     assert _rel_err(res.y, Y_TEST, Y_NEW) < TESTS_TOL
     assert abs(res.info.obj_val - OBJ_TEST) / abs(OBJ_TEST) < TESTS_TOL

@@ -27,47 +27,6 @@ class TestDemo:
         assert res.info.status_val == con.OSQP_SOLVED
 
 
-class TestBasicQP2:
-    """basic_qp2: goldens from tests/basic_qp2/generate_problem.py:5-34."""
-
-    def make(self, **kw):
-        P = sp.triu([[11.0, 0.0], [0.0, 0.0]], format="csc")
-        q = np.array([3.0, 4.0])
-        A = sp.csc_matrix(
-            np.array(
-                [[-1.0, 0.0], [0.0, -1.0], [-1.0, 3.0], [2.0, 5.0], [3.0, 4.0]]
-            )
-        )
-        l = -np.inf * np.ones(5)
-        u = np.array([0.0, 0.0, -15.0, 100.0, 80.0])
-        kw.setdefault("verbose", False)
-        kw.setdefault("polish", True)
-        return osqp_tpu.Solver(P=P, q=q, A=A, l=l, u=u, **kw)
-
-    def test_solve(self):
-        res = self.make().solve()
-        assert res.info.status_val == con.OSQP_SOLVED
-        assert_allclose(res.x, [15.0, 0.0], tol=1e-3)
-        assert_allclose(res.y, [0.0, 508.0, 168.0, 0.0, 0.0], tol=1e-2)
-        assert abs(res.info.obj_val - 1282.5) < 1e-2
-
-    def test_update(self):
-        s = self.make()
-        s.solve()
-        s.update_lin_cost(np.array([1.0, 1.0]))
-        s.update_upper_bound(np.array([-2.0, 0.0, -20.0, 100.0, 80.0]))
-        res = s.solve()
-        assert res.info.status_val == con.OSQP_SOLVED
-        assert_allclose(res.x, [20.0, 0.0], tol=1e-2)
-        assert_allclose(res.y, [0.0, 664.0, 221.0, 0.0, 0.0], tol=1e-1)
-        assert abs(res.info.obj_val - 2220.0) < 1e-1
-
-    def test_kkt_lu_backend(self):
-        res = self.make(linsys_solver="kkt_lu").solve()
-        assert res.info.status_val == con.OSQP_SOLVED
-        assert_allclose(res.x, [15.0, 0.0], tol=1e-3)
-
-
 class TestUnconstrained:
     """m = 0 edge case (unconstrained/generate_problem.py:5-16;
     pri_res short-circuit auxil.c:611-614,717-719)."""
