@@ -190,6 +190,7 @@ class TestMarosProblems:
     KNOWN = {
         "HS21": -99.96,
         "HS35": 0.1111111111,
+        "HS51": 0.0,
         "HS76": -4.6818181818,
     }
 
