@@ -26,7 +26,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 from . import constants as con
 from .buckets import solve_problems

@@ -44,7 +44,7 @@ from .admm import rho_vec_from_type, solve_core, update_rho_state
 from .linalg import with_high_precision
 from .solver import Settings, validate_settings
 from .solver import _device_refactor
-from .types import DynSettings, Iterates, QPData
+from .types import DynSettings, Iterates
 
 _solve_core_jit = jax.jit(
     with_high_precision(solve_core), static_argnames=("cfg",)

@@ -6,7 +6,6 @@ import numpy as np
 from numpy.random import Generator, PCG64
 
 import jax
-import jax.numpy as jnp
 
 import osqp_tpu
 from osqp_tpu import constants as con

@@ -2,9 +2,6 @@
 (src/util.c:42-236 columns) — the remaining observability behaviors."""
 
 import numpy as np
-import pytest
-
-import osqp_tpu
 from osqp_tpu import constants as con
 from osqp_tpu.solver import Solver
 import osqp_tpu.solver as solver_mod

@@ -2,7 +2,6 @@
 scaling unit tests (scaling.c:44-156 invariants)."""
 
 import numpy as np
-import scipy.sparse as sp
 from numpy.random import Generator, PCG64
 
 import jax.numpy as jnp

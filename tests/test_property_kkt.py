@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 
 import osqp_tpu
-from osqp_tpu import constants as con
 
 
 def _random_mixed_qp(seed):
