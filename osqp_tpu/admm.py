@@ -102,30 +102,6 @@ def update_rho_state(data: QPData, rs: RhoState) -> tuple[RhoState, jax.Array]:
     )
 
 
-def _use_fused_step(cfg: StaticConfig, backend) -> bool:
-    """Static (trace-time) choice of the fused Pallas iteration kernel
-    (TPU backend, f32, m > 0, backend provides ``fused_step``), opt-in
-    via ``OSQP_TPU_FUSED=1``.  Measured on v5e (B=8192, n=100, m=200)
-    XLA's own fusion of the iteration chain is faster than the
-    hand-written kernel (2.8ms vs ~6ms per iteration) — the kernel is
-    kept as the substrate for future layouts (bf16 operand storage,
-    instance compaction) where manual control pays."""
-    import os
-
-    from .linsys import dense_inv
-
-    return (
-        hasattr(backend, "fused_step")
-        and cfg.m > 0
-        and cfg.jdtype == jnp.float32
-        and jax.default_backend() == "tpu"
-        and os.environ.get("OSQP_TPU_FUSED", "0") == "1"
-        # the Pallas kernel reads batch-major operands; consult the
-        # layout the backend actually froze at import time
-        and not dense_inv._BATCH_MINOR
-    )
-
-
 # ---------------------------------------------------------------------------
 # One ADMM iteration (auxil.c:161-225)
 # ---------------------------------------------------------------------------
@@ -220,7 +196,6 @@ def _apply_rho_adaptation(cfg, data, dyn, c: _Carry) -> _Carry:
     )
     tol = dyn.adaptive_rho_tolerance
     upd = c.active & ((est > rs.rho * tol) | (est < rs.rho / tol))
-    backend = linsys_registry.get(cfg.linsys_solver)
 
     def select_factor(new, old):
         # cg factors carry unbatched scalar config leaves; they are
@@ -240,13 +215,7 @@ def _apply_rho_adaptation(cfg, data, dyn, c: _Carry) -> _Carry:
         new_factor = linsys_registry.init_factor(
             cfg, data.P, data.A, dyn.sigma, new_rv
         )
-        # Backends with non-batch-leading factor layouts provide their
-        # own per-instance select (dense_inv's batch-minor mode).
-        sel_hook = getattr(backend, "select_factor", None)
-        if sel_hook is not None:
-            factor = sel_hook(upd, new_factor, factor)
-        else:
-            factor = jax.tree_util.tree_map(select_factor, new_factor, factor)
+        factor = jax.tree_util.tree_map(select_factor, new_factor, factor)
         new_info = replace(info, rho_updates=info.rho_updates + upd.astype(jnp.int32))
         return new_rs, factor, new_info
 
@@ -295,22 +264,15 @@ def run_segment(
     check = int(cfg.check_termination)
     interval = int(cfg.adaptive_rho_interval) if cfg.adaptive_rho else 0
     end_iter = jnp.minimum(jnp.asarray(end_iter, jnp.int32), cfg.max_iter)
-    fused = _use_fused_step(cfg, backend)
 
     def loop_cond(c: _Carry):
         return (c.k <= end_iter) & jnp.any(c.active)
 
     def loop_body(c: _Carry) -> _Carry:
-        if fused:
-            xo, zo, yo, dx_new, dy_new = backend.fused_step(
-                c.factor, data, dyn, c.rho_state, c.it, c.active
-            )
-            it_masked = Iterates(x=xo, z=zo, y=yo)
-        else:
-            it_new, dx_new, dy_new = admm_step(
-                backend, c.factor, data, dyn, c.rho_state, c.it
-            )
-            it_masked = bwhere(c.active, it_new, c.it)
+        it_new, dx_new, dy_new = admm_step(
+            backend, c.factor, data, dyn, c.rho_state, c.it
+        )
+        it_masked = bwhere(c.active, it_new, c.it)
         c = c._replace(
             it=it_masked,
             delta_x=bwhere(c.active, dx_new, c.delta_x),

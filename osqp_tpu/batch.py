@@ -271,18 +271,6 @@ def _solve_compacting(
 
         keep = np.nonzero(act)[0]
         drop = np.nonzero(~act)[0]
-        backend = linsys_registry.get(cfg.linsys_solver)
-        gather_factor = getattr(backend, "gather_factor", None)
-
-        def gather_carry(carry, idx_dev):
-            """Gather a _Carry; backends with non-batch-leading factor
-            layouts (dense_inv batch-minor) gather via their hook."""
-            if gather_factor is None:
-                return _gather_tree(carry, idx_dev)
-            gathered = _gather_tree(carry._replace(factor={}), idx_dev)
-            return gathered._replace(
-                factor=gather_factor(carry.factor, idx_dev)
-            )
 
         # Finalize + scatter the finished cohort (padded to a bucket so
         # the finalize program compiles once per size; capped at Bs so a
@@ -294,7 +282,7 @@ def _solve_compacting(
             didx_dev = jnp.asarray(didx)
             sub_data = _gather_tree(data, didx_dev)
             sub_scl = _gather_tree(sclc, didx_dev)
-            sub_c = gather_carry(c, didx_dev)
+            sub_c = _gather_tree(c, didx_dev)
             fin = _finalize_c(cfg, sub_data, sub_scl, dyn, sub_c)
             gsc = np.full(dsize, B, np.int32)  # OOB = dropped
             gsc[: len(drop)] = gidx[drop]
@@ -315,7 +303,7 @@ def _solve_compacting(
             kidx_dev = jnp.asarray(kidx)
             data = _gather_tree(data, kidx_dev)
             sclc = _gather_tree(sclc, kidx_dev)
-            c = gather_carry(c, kidx_dev)
+            c = _gather_tree(c, kidx_dev)
             pad_mask = jnp.asarray(np.arange(target) < na)
             c = c._replace(active=c.active & pad_mask)
             new_gidx = np.full(target, B, np.int32)

@@ -34,16 +34,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..linalg import mat_tvec
 from .dense_chol import form_schur
-
-# GEMV strategy for the per-iteration solve.  "mxu": einsum with
-# precision="highest" (f32 emulated as multi-pass bf16 on the MXU —
-# re-reads the big W operand per pass).  "vpu": broadcast-multiply +
-# reduce on the VPU — single f32 pass over W, exact f32 FMA.  The hot
-# GEMV is memory-bound, so the single-pass formulation wins; see
-# tools/profile_iter.py.
-_GEMV_MODE = os.environ.get("OSQP_TPU_GEMV_MODE", "vpu")
 
 # Factorization strategy.  "recursive": blocked 2x2 Schur recursion —
 # pure batched GEMMs on the MXU (ops/spd_inverse.py), ~30x faster than
@@ -51,23 +42,16 @@ _GEMV_MODE = os.environ.get("OSQP_TPU_GEMV_MODE", "vpu")
 # panel steps on TPU; see tools/profile_setup.py).
 _FACTOR_MODE = os.environ.get("OSQP_TPU_FACTOR_MODE", "recursive")
 
-# Storage dtype for the streamed operator blocks (and the A copy used
-# in rhs assembly).  "bfloat16" halves the hot loop's HBM traffic but a
-# *fixed* ~2e-3 operator error stalls ADMM above the default 1e-3
-# tolerances (measured: 0% solved at max_iter) — usable only with loose
-# eps or a future in-kernel refinement step.  Keep "float32".
-_W_DTYPE = os.environ.get("OSQP_TPU_W_DTYPE", "float32")
-
-# Batch-minor operand layout for the hot loop.  XLA stores f32 arrays in
-# (8, 128) tiles over the last two dims, so batch-major operands pad
-# n=100 -> 104/128 etc. (~+31% HBM traffic; see docs/performance.md).
-# With the *batch* as the minor (lane) dimension — Minv (n, n, B),
-# (M^-1 A') (n, m, B), A (m, n, B) — padding falls to the sublane dim
-# only (~+2% for typical shapes, 0 when n, m are multiples of 8) and the
-# GEMV reductions become outer-axis sums (plain vector adds on the VPU).
-# Vectors stay batch-major; the per-iteration transposes of (B, n)/(B, m)
-# vectors are noise next to the operand streams.
-_BATCH_MINOR = os.environ.get("OSQP_TPU_BATCH_MINOR", "0") == "1"
+# Hot-loop layout note (round-1 experiments, measured on v5e at
+# B=8192, n=100, m=200 — see docs/performance.md): the batch-major f32
+# layout below with single-pass VPU reductions IS the practical
+# roofline (~3.1 ms/iter).  Rejected alternatives, removed from the
+# code path: batch-minor (n, n, B) operand storage (no measured gain —
+# the (8,128) tile-padding model overstates recoverable traffic), bf16
+# operand storage (fixed ~2e-3 operator error stalls ADMM at default
+# tolerances), an MXU einsum GEMV (multi-pass bf16 emulation re-reads
+# the operands), and a hand-fused Pallas iteration kernel (~6 ms/iter
+# vs XLA's own fusion at ~3.1 ms).
 
 
 def _chol_inverse(M):
@@ -119,86 +103,16 @@ def init(P, A, sigma, rho_vec, **_):
         )
     else:
         AMinvT = jnp.zeros((P.shape[0], n, 0), P.dtype)
-    # Layout/storage modes are mutually exclusive; batch-minor wins if
-    # both env vars are set (the bf16 mode is a documented-broken
-    # experiment anyway).
-    if _BATCH_MINOR:
-        bm = lambda a: jnp.transpose(a, (1, 2, 0))  # one-time relayout
-        return {
-            "Minv_bm": bm(Minv),       # (n, n, B)
-            "AMinvT_bm": bm(AMinvT),   # (n, m, B)
-            "A_bm": bm(A),             # (m, n, B)
-        }
-    if _W_DTYPE != "float32" and P.dtype == jnp.float32:
-        wdt = jnp.dtype(_W_DTYPE)
-        return {
-            "Minv": Minv.astype(wdt),
-            "AMinvT": AMinvT.astype(wdt),
-            "A16": A.astype(wdt),
-        }
     return {"Minv": Minv, "AMinvT": AMinvT}
 
 
-def select_factor(upd, new, old):
-    """Per-instance factor select for rho adaptation — batch-minor
-    leaves mask the *last* axis, batch-major ones the first."""
-
-    def sel(key, n, o):
-        if n.ndim == 0:
-            return n
-        if key.endswith("_bm"):
-            return jnp.where(upd[(None,) * (n.ndim - 1)], n, o)
-        return jnp.where(upd.reshape(upd.shape + (1,) * (n.ndim - 1)), n, o)
-
-    return {k: sel(k, new[k], old[k]) for k in new}
-
-
-def gather_factor(factor, idx):
-    """Instance gather for the compaction driver — batch axis is last
-    for ``*_bm`` leaves, first otherwise."""
-    return {
-        k: (a[..., idx] if k.endswith("_bm") else a[idx])
-        for k, a in factor.items()
-    }
-
-
-def fused_step(factor, data, dyn, rs, it, active):
-    """One fully-fused ADMM iteration in a single Pallas kernel
-    (TPU/f32 only; see ops/fused_iter.py).  Returns
-    (x+, z+, y+, dx_raw, dy_raw) with (x,z,y) frozen where inactive."""
-    from ..ops.fused_iter import fused_iteration
-
-    return fused_iteration(
-        factor, data.A, dyn.sigma, dyn.alpha, rs.rho_vec, rs.rho_inv_vec,
-        it.x, it.z, it.y, data.q, data.l, data.u, active,
-    )
-
-
 def solve(factor, A, rho_vec, rhs_x, rhs_z, x0=None):
-    if "Minv_bm" in factor:
-        # Batch-minor path: operands (., ., B); reductions over axis 0.
-        t = rhs_x.T  # (n, B)
-        if A.shape[-2]:
-            vT = (rho_vec * rhs_z).T  # (m, B)
-            t = t + jnp.sum(factor["A_bm"] * vT[:, None, :], axis=0)
-        x_t = jnp.sum(factor["Minv_bm"] * t[:, None, :], axis=0)
-        z_t = jnp.sum(factor["AMinvT_bm"] * t[:, None, :], axis=0)
-        return x_t.T, z_t.T
     t = rhs_x
-    if "A16" in factor:
-        A = factor["A16"]  # low-precision streamed copy
-    if _GEMV_MODE == "vpu":
-        if A.shape[-2]:
-            t = t + jnp.sum(A * (rho_vec * rhs_z)[:, :, None], axis=1)
-        # Sublane-axis contractions (see init); Minv symmetric.
-        x_t = jnp.sum(factor["Minv"] * t[:, :, None], axis=1)
-        z_t = jnp.sum(factor["AMinvT"] * t[:, :, None], axis=1)
-    else:
-        if A.shape[-2]:
-            t = t + mat_tvec(A, rho_vec * rhs_z)
-        gemv = lambda W: jnp.einsum(
-            "bnk,bn->bk", W, t, preferred_element_type=t.dtype,
-            precision="highest",
-        )
-        x_t, z_t = gemv(factor["Minv"]), gemv(factor["AMinvT"])
+    # Single-pass VPU reductions over the sublane axis (see init): the
+    # hot GEMV is memory-bound, so one exact-f32 pass over each operand
+    # beats the MXU einsum's multi-pass bf16 emulation.  Minv symmetric.
+    if A.shape[-2]:
+        t = t + jnp.sum(A * (rho_vec * rhs_z)[:, :, None], axis=1)
+    x_t = jnp.sum(factor["Minv"] * t[:, :, None], axis=1)
+    z_t = jnp.sum(factor["AMinvT"] * t[:, :, None], axis=1)
     return x_t, z_t

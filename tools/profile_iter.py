@@ -1,8 +1,9 @@
 """Per-iteration cost profiling on the real TPU.
 
 Measures the pure ADMM-loop slope (fixed iteration counts, termination
-checks off) for GEMV strategy variants of the dense_inv backend, to
-find the speed-of-light formulation.  Run: python tools/profile_iter.py
+checks off) of the dense_inv backend — the speed-of-light check against
+the HBM roofline model in docs/performance.md.
+Run: python tools/profile_iter.py [B n m]...
 """
 
 import os
@@ -26,18 +27,12 @@ def make_qps(B, n, m, seed=0):
     return P, q, A, Ax - spread - 0.1, Ax + spread + 0.1
 
 
-def run(mode, iters_list=(16, 64)):
-    os.environ["OSQP_TPU_GEMV_MODE"] = mode
-    # Fresh import per mode
-    for k in list(sys.modules):
-        if k.startswith("osqp_tpu"):
-            del sys.modules[k]
+def run(B=8192, n=100, m=200, iters_list=(16, 64)):
     import jax
     import jax.numpy as jnp
 
     from osqp_tpu.batch import solve_batch
 
-    B, n, m = 8192, 100, 200
     data = [jax.device_put(jnp.asarray(v)) for v in make_qps(B, n, m)]
     times = {}
     for it in iters_list:
@@ -56,7 +51,7 @@ def run(mode, iters_list=(16, 64)):
     its = sorted(times)
     slope = (times[its[-1]] - times[its[0]]) / (its[-1] - its[0])
     print(
-        f"mode={mode:10s} t{its[0]}={times[its[0]]:.3f}s t{its[-1]}="
+        f"B={B} n={n} m={m} t{its[0]}={times[its[0]]:.3f}s t{its[-1]}="
         f"{times[its[-1]]:.3f}s per_iter={slope*1e3:.3f}ms "
         f"fixed={times[its[0]] - slope*its[0]:.3f}s",
         flush=True,
@@ -65,5 +60,7 @@ def run(mode, iters_list=(16, 64)):
 
 
 if __name__ == "__main__":
-    for mode in sys.argv[1:] or ["mxu", "vpu"]:
-        run(mode)
+    if len(sys.argv) > 1:
+        run(*(int(a) for a in sys.argv[1:4]))
+    else:
+        run()
