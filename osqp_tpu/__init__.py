@@ -36,6 +36,7 @@ from .constants import (
     OSQPError,
 )
 from .diff import make_qp_layer
+from .large import solve_sparse
 from .parametric import BatchedSolver
 from .solver import OSQP, Info, Results, Settings, Solver
 from .types import DynSettings, QPData, ScalingData, StaticConfig
@@ -44,6 +45,7 @@ __all__ = [
     "OSQP",
     "Solver",
     "BatchedSolver",
+    "solve_sparse",
     "make_qp_layer",
     "Settings",
     "Info",

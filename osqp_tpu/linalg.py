@@ -50,21 +50,38 @@ def scaled_norm_inf(S: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.max(jnp.abs(S * v), axis=-1)
 
 
-def mat_vec(A: jax.Array, x: jax.Array) -> jax.Array:
+def _is_ell(A) -> bool:
+    from .sparse_ops import ELLMatrix
+
+    return isinstance(A, ELLMatrix)
+
+
+def mat_vec(A, x: jax.Array) -> jax.Array:
     """Batched A @ x:  (B, m, n) x (B, n) -> (B, m)  (lin_alg.c:241-271).
 
-    einsum lowers to a batched matmul on the MXU.
+    Dense operands lower to a batched matmul on the MXU; ELL sparse
+    operands (osqp_tpu.sparse_ops) to a gather + rowwise reduce.
     """
+    if _is_ell(A):
+        from .sparse_ops import ell_matvec
+
+        return ell_matvec(A, x)
     return jnp.einsum("bmn,bn->bm", A, x, preferred_element_type=x.dtype, precision="highest")
 
 
-def mat_tvec(A: jax.Array, y: jax.Array) -> jax.Array:
+def mat_tvec(A, y: jax.Array) -> jax.Array:
     """Batched A^T @ y:  (B, m, n) x (B, m) -> (B, n)  (lin_alg.c:273-323)."""
+    if _is_ell(A):
+        from .sparse_ops import ell_tmatvec
+
+        return ell_tmatvec(A, y)
     return jnp.einsum("bmn,bm->bn", A, y, preferred_element_type=y.dtype, precision="highest")
 
 
-def quad_form(P: jax.Array, x: jax.Array) -> jax.Array:
-    """0.5 x' P x with dense symmetric P (lin_alg.c:387-413)."""
+def quad_form(P, x: jax.Array) -> jax.Array:
+    """0.5 x' P x with symmetric P (lin_alg.c:387-413)."""
+    if _is_ell(P):
+        return 0.5 * vec_dot(x, mat_vec(P, x))
     return 0.5 * jnp.einsum(
         "bn,bnk,bk->b", x, P, x, preferred_element_type=x.dtype, precision="highest"
     )

@@ -57,7 +57,15 @@ def scale_data(data: QPData, n_iters: int) -> tuple[QPData, ScalingData]:
     c·D_j·max_i D_i|P_ij|, etc.) and applied to P/A once at the end.
     This is algebraically identical to the reference's in-place loop but
     streams ~3x less HBM per sweep — the big matrices are only read.
+
+    ELL sparse operands (osqp_tpu.sparse_ops) take the matrix-free
+    branch below — the same sweeps with gather-based norm reductions,
+    exactly the reference's matrix-free formulation (scaling.c:28-42).
     """
+    from .sparse_ops import ELLMatrix
+
+    if isinstance(data.A, ELLMatrix) or isinstance(data.P, ELLMatrix):
+        return _scale_data_ell(data, n_iters)
     B, n = data.q.shape
     m = data.l.shape[-1]
     dtype = data.q.dtype
@@ -116,6 +124,59 @@ def scale_data(data: QPData, n_iters: int) -> tuple[QPData, ScalingData]:
         P=c[:, None, None] * (D[:, :, None] * data.P * D[:, None, :]),
         q=c[:, None] * (D * q0),
         A=E[:, :, None] * data.A * D[:, None, :],
+        l=E * data.l,
+        u=E * data.u,
+    )
+    return scaled, scl
+
+
+def _scale_data_ell(data: QPData, n_iters: int) -> tuple[QPData, ScalingData]:
+    """Sparse (ELL) Ruiz sweeps — same accumulate-then-apply scheme with
+    gather-only norm reductions; see scale_data."""
+    from .sparse_ops import ell_col_norms, ell_row_norms, ell_scale
+
+    P, A = data.P, data.A
+    B, n = data.q.shape
+    m = data.l.shape[-1]
+    dtype = data.q.dtype
+    q0 = data.q
+
+    def sweep(carry, _):
+        c, D, E = carry
+        Pn = ell_col_norms(P, D) * D * c[:, None] if n else jnp.zeros((B, n), dtype)
+        if m:
+            An_col = ell_col_norms(A, E) * D
+            e_norm = ell_row_norms(A, D) * E
+            d_norm = jnp.maximum(Pn, An_col)
+        else:
+            e_norm = jnp.zeros((B, m), dtype)
+            d_norm = Pn
+        d = 1.0 / jnp.sqrt(limit_scaling(d_norm))
+        e = 1.0 / jnp.sqrt(limit_scaling(e_norm))
+        D = D * d
+        E = E * e
+
+        col_norm_P = (
+            ell_col_norms(P, D) * D * c[:, None] if n else jnp.zeros((B, n), dtype)
+        )
+        c_temp = jnp.mean(col_norm_P, axis=-1)
+        inf_norm_q = limit_scaling(jnp.max(jnp.abs(q0) * D, axis=-1) * c)
+        c_temp = limit_scaling(jnp.maximum(c_temp, inf_norm_q))
+        c = c / c_temp
+        return (c, D, E), None
+
+    init = (
+        jnp.ones((B,), dtype),
+        jnp.ones((B, n), dtype),
+        jnp.ones((B, m), dtype),
+    )
+    (c, D, E), _ = jax.lax.scan(sweep, init, None, length=n_iters)
+
+    scl = ScalingData(c=c, cinv=1.0 / c, D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E)
+    scaled = QPData(
+        P=ell_scale(P, D, D, c),
+        q=c[:, None] * (D * q0),
+        A=ell_scale(A, E, D),
         l=E * data.l,
         u=E * data.u,
     )

@@ -1,0 +1,171 @@
+"""Device-side sparse operands (ELL format) for large problems.
+
+The reference's CSC kernel + SpMV (src/cs.c:28-318, src/lin_alg.c:241-323)
+let it solve n ~ 1e4-1e5 Maros-Meszaros problems; the dense (B, n, n)
+device layout cannot represent them (O(n^2) memory).  This module is the
+TPU-native equivalent: **ELL (padded-row) storage** — every row padded
+to the max nnz/row — because on TPU a sparse matvec built from *gathers* with a
+static shape vectorizes on the VPU, while CSC-style indptr loops do not.
+
+    A x   = sum_k val[:, i, k] * x[:, idx[i, k]]          (row gather)
+    A' y  = sum_k t_val[:, j, k] * y[:, t_idx[j, k]]      (gather on A')
+
+The transpose is stored explicitly (second ELL of A') so BOTH products
+are gather-only — no scatter/segment-sum in the hot loop.  Values carry
+a leading batch axis (scenario batches share the sparsity pattern);
+``idx`` is pattern-only and unbatched.
+
+P is stored with its FULL symmetric pattern (the reference keeps triu
+and uses the skip_diag SpMV pair, lin_alg.c:273-323; with gathers the
+symmetric form costs the same and needs one product instead of two).
+
+Used by the ``cg`` (matrix-free) backend via the dispatchers in
+:mod:`osqp_tpu.linalg`; dense backends reject ELL operands by shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ELLMatrix:
+    """Batched-values ELL matrix with explicit transpose.
+
+    val:   (B, m, k)  row-padded values
+    idx:   (m, k)     column index per slot (0 where padded; val = 0)
+    t_val: (B, n, kt) values of A' (row-padded over A''s rows = A's cols)
+    t_idx: (n, kt)    row index of A per slot
+    shape: (m, n)     logical shape (static)
+    """
+
+    val: jax.Array
+    idx: jax.Array
+    t_val: jax.Array
+    t_idx: jax.Array
+    shape: tuple  # static
+
+    def tree_flatten(self):
+        return (self.val, self.idx, self.t_val, self.t_idx), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, shape=aux)
+
+    @property
+    def dtype(self):
+        return self.val.dtype
+
+    @property
+    def batch(self):
+        return self.val.shape[0]
+
+    def block_until_ready(self):
+        self.val.block_until_ready()
+        return self
+
+
+def _to_ell_rows(M: "sp.csr_matrix"):
+    """(idx (m, k) int32, val (m, k) f64) from a CSR matrix."""
+    m = M.shape[0]
+    counts = np.diff(M.indptr)
+    k = max(int(counts.max()) if m else 0, 1)
+    idx = np.zeros((m, k), np.int32)
+    val = np.zeros((m, k), np.float64)
+    for i in range(m):
+        s, e = M.indptr[i], M.indptr[i + 1]
+        idx[i, : e - s] = M.indices[s:e]
+        val[i, : e - s] = M.data[s:e]
+    return idx, val
+
+
+def ell_from_scipy(M, dtype, batch: int = 1, sym_from_triu: bool = False):
+    """Build an ELLMatrix from a scipy sparse (or dense) matrix.
+
+    ``sym_from_triu``: treat M as the upper triangle of a symmetric
+    matrix and store the full symmetric pattern (P convention).
+    Values are broadcast over ``batch``.
+    """
+    M = sp.csr_matrix(M)
+    if sym_from_triu:
+        U = sp.triu(M, format="csr")
+        M = (U + U.T - sp.diags(U.diagonal())).tocsr()
+    idx, val = _to_ell_rows(M)
+    t_idx, t_val = _to_ell_rows(M.T.tocsr())
+    to = lambda a: jnp.broadcast_to(
+        jnp.asarray(a, dtype)[None], (batch,) + a.shape
+    )
+    return ELLMatrix(
+        val=to(val),
+        idx=jnp.asarray(idx),
+        t_val=to(t_val),
+        t_idx=jnp.asarray(t_idx),
+        shape=tuple(M.shape),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Products (gather-only; gradients not needed in the solve path)
+# ---------------------------------------------------------------------------
+def ell_matvec(A: ELLMatrix, x: jax.Array) -> jax.Array:
+    """(B, n) -> (B, m)."""
+    if A.shape[0] == 0:
+        return jnp.zeros((x.shape[0], 0), x.dtype)
+    g = jnp.take(x, A.idx, axis=-1)  # (B, m, k)
+    return jnp.sum(A.val * g, axis=-1)
+
+
+def ell_tmatvec(A: ELLMatrix, y: jax.Array) -> jax.Array:
+    """(B, m) -> (B, n) via the stored transpose."""
+    if A.shape[1] == 0:
+        return jnp.zeros((y.shape[0], 0), y.dtype)
+    g = jnp.take(y, A.t_idx, axis=-1)  # (B, n, kt)
+    return jnp.sum(A.t_val * g, axis=-1)
+
+
+def ell_diagonal(P: ELLMatrix) -> jax.Array:
+    """(B, n) diagonal of a square ELL matrix."""
+    rows = jnp.arange(P.shape[0])[:, None]
+    mask = (P.idx == rows).astype(P.dtype)
+    return jnp.sum(P.val * mask, axis=-1)
+
+
+def ell_sq_colsums(A: ELLMatrix, w: jax.Array) -> jax.Array:
+    """(B, n) columns sums  sum_i w_i A_ij^2  (Jacobi preconditioner
+    term) via the transpose copy — gather-only."""
+    g = jnp.take(w, A.t_idx, axis=-1)
+    return jnp.sum(A.t_val * A.t_val * g, axis=-1)
+
+
+def ell_row_norms(A: ELLMatrix, col_w: jax.Array) -> jax.Array:
+    """(B, m) row inf-norms of diag(col_w-gather) scaling:
+    max_j |A_ij| col_w_j."""
+    g = jnp.take(col_w, A.idx, axis=-1)
+    return jnp.max(jnp.abs(A.val) * g, axis=-1) if A.shape[0] else jnp.zeros(
+        (A.val.shape[0], 0), A.dtype
+    )
+
+
+def ell_col_norms(A: ELLMatrix, row_w: jax.Array) -> jax.Array:
+    """(B, n) column inf-norms  max_i row_w_i |A_ij|  (via transpose)."""
+    g = jnp.take(row_w, A.t_idx, axis=-1)
+    return jnp.max(jnp.abs(A.t_val) * g, axis=-1) if A.shape[1] else jnp.zeros(
+        (A.val.shape[0], 0), A.dtype
+    )
+
+
+def ell_scale(A: ELLMatrix, row_s, col_s, c=None) -> ELLMatrix:
+    """diag(row_s) A diag(col_s) (optionally * c), batched."""
+    val = A.val * row_s[..., None] * jnp.take(col_s, A.idx, axis=-1)
+    t_val = A.t_val * col_s[..., None] * jnp.take(row_s, A.t_idx, axis=-1)
+    if c is not None:
+        val = val * c[:, None, None]
+        t_val = t_val * c[:, None, None]
+    return ELLMatrix(val=val, idx=A.idx, t_val=t_val, t_idx=A.t_idx,
+                     shape=A.shape)

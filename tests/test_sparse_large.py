@@ -1,0 +1,148 @@
+"""Sparse (ELL) operand path: osqp_tpu.sparse_ops + osqp_tpu.large.
+
+Covers the reference's CSC kernel role (src/cs.c:28-318,
+src/lin_alg.c:241-323): products match dense, the sparse solve agrees
+with the dense cg solve, and large-n problems run without densifying.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from osqp_tpu import constants as con
+from osqp_tpu.large import solve_sparse
+from osqp_tpu.verify import kkt_check, primal_infeasibility_check
+from conftest import TESTS_TOL
+
+
+def _rand_sparse_qp(n, m, density, seed):
+    rng = np.random.default_rng(seed)
+    M = sp.random(n, n, density=density, random_state=rng, format="csc")
+    P = (M @ M.T).tocsc() + 0.1 * sp.eye(n, format="csc")
+    A = sp.random(m, n, density=density, random_state=rng, format="csc")
+    # guarantee no empty columns so the QP is bounded in every coordinate
+    A = A + sp.diags(np.ones(min(m, n)), shape=(m, n), format="csc")
+    q = rng.standard_normal(n)
+    x0 = rng.standard_normal(n)
+    Ax = np.asarray(A @ x0).ravel()
+    s = np.abs(rng.standard_normal(m)) + 0.1
+    return P, q, A, Ax - s, Ax + s
+
+
+def test_ell_products_match_dense():
+    import jax.numpy as jnp
+
+    from osqp_tpu.sparse_ops import (
+        ELLMatrix,
+        ell_col_norms,
+        ell_diagonal,
+        ell_from_scipy,
+        ell_matvec,
+        ell_row_norms,
+        ell_sq_colsums,
+        ell_tmatvec,
+    )
+
+    rng = np.random.default_rng(0)
+    m, n, B = 17, 11, 3
+    A = sp.random(m, n, density=0.3, random_state=rng, format="csr")
+    E = ell_from_scipy(A, jnp.float64, batch=B)
+    Ad = A.toarray()
+    x = rng.standard_normal((B, n))
+    y = rng.standard_normal((B, m))
+    np.testing.assert_allclose(ell_matvec(E, x), x @ Ad.T, atol=1e-12)
+    np.testing.assert_allclose(ell_tmatvec(E, y), y @ Ad, atol=1e-12)
+    w = np.abs(rng.standard_normal((B, m))) + 0.1
+    np.testing.assert_allclose(
+        ell_sq_colsums(E, w), np.einsum("bm,mn->bn", w, Ad**2), atol=1e-12
+    )
+    cw = np.abs(rng.standard_normal((B, n))) + 0.1
+    np.testing.assert_allclose(
+        ell_row_norms(E, cw),
+        np.max(np.abs(Ad)[None] * cw[:, None, :], axis=-1),
+        atol=1e-12,
+    )
+    rw = np.abs(rng.standard_normal((B, m))) + 0.1
+    np.testing.assert_allclose(
+        ell_col_norms(E, rw),
+        np.max(np.abs(Ad)[None] * rw[:, :, None], axis=-2),
+        atol=1e-12,
+    )
+    # square matrix diagonal
+    Pn = sp.random(n, n, density=0.4, random_state=rng, format="csr") + sp.eye(n)
+    EP = ell_from_scipy(Pn, jnp.float64, batch=1)
+    np.testing.assert_allclose(
+        ell_diagonal(EP)[0], Pn.toarray().diagonal(), atol=1e-12
+    )
+    assert isinstance(E, ELLMatrix)
+
+
+def test_sparse_solve_matches_dense_cg():
+    from osqp_tpu.batch import solve_batch
+
+    P, q, A, l, u = _rand_sparse_qp(40, 60, 0.15, seed=1)
+    res_s = solve_sparse(P, q, A, l, u, verbose=False)
+    from osqp_tpu.sparse import triu_to_full, to_upper_csc
+
+    Pd = triu_to_full(to_upper_csc(P, 40))
+    res_d = solve_batch(
+        Pd[None], q[None], A.toarray()[None], l[None], u[None],
+        linsys_solver="cg", verbose=False,
+    )
+    assert int(res_s.status_val[0]) == con.OSQP_SOLVED
+    assert int(res_d.status_val[0]) == con.OSQP_SOLVED
+    np.testing.assert_allclose(
+        np.asarray(res_s.x[0]), np.asarray(res_d.x[0]), atol=1e-3
+    )
+    assert abs(float(res_s.obj_val[0]) - float(res_d.obj_val[0])) < TESTS_TOL
+    chk = kkt_check(P, q, A, l, u, res_s.x[0], res_s.y[0])
+    assert chk["ok"], chk
+
+
+def test_sparse_batched_values():
+    """B instances sharing the pattern: per-instance q/l/u."""
+    P, q, A, l, u = _rand_sparse_qp(20, 30, 0.2, seed=2)
+    B = 4
+    qs = np.stack([q * (1 + 0.1 * i) for i in range(B)])
+    res = solve_sparse(P, qs, A, np.tile(l, (B, 1)), np.tile(u, (B, 1)),
+                       verbose=False)
+    assert np.all(np.asarray(res.status_val) == con.OSQP_SOLVED)
+    for b in range(B):
+        chk = kkt_check(P, qs[b], A, l, u, res.x[b], res.y[b])
+        assert chk["ok"], (b, chk)
+
+
+@pytest.mark.nanok
+def test_sparse_primal_infeasible():
+    P, q, A, l, u = _rand_sparse_qp(15, 20, 0.3, seed=3)
+    A2 = sp.vstack([A, A.getrow(-1)], format="csr")
+    l2 = np.concatenate([l, [u[-1] + 1.0]])
+    u2 = np.concatenate([u, [u[-1] + 2.0]])
+    res = solve_sparse(P, q, A2, l2, u2, verbose=False)
+    assert int(res.status_val[0]) in (
+        con.OSQP_PRIMAL_INFEASIBLE,
+        con.OSQP_PRIMAL_INFEASIBLE_INACCURATE,
+    )
+    chk = primal_infeasibility_check(
+        A2, l2, u2, np.asarray(res.prim_inf_cert[0])
+    )
+    assert chk["ok"], chk
+
+
+@pytest.mark.slow
+def test_sparse_large_n():
+    """n = 20_000 banded QP solves matrix-free on CPU — impossible for
+    the dense layout (O(n^2) = 3.2 GB/instance)."""
+    n = 20_000
+    rng = np.random.default_rng(0)
+    main = 2.0 + np.abs(rng.standard_normal(n))
+    off = 0.5 * rng.standard_normal(n - 1)
+    P = sp.diags([off, main, off], [-1, 0, 1], format="csc")
+    A = sp.eye(n, format="csc")
+    q = rng.standard_normal(n)
+    l = np.full(n, -1.0)
+    u = np.full(n, 1.0)
+    res = solve_sparse(P, q, A, l, u, verbose=False)
+    assert int(res.status_val[0]) == con.OSQP_SOLVED
+    chk = kkt_check(P, q, A, l, u, res.x[0], res.y[0])
+    assert chk["ok"], chk
