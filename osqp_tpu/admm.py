@@ -173,8 +173,16 @@ def _apply_check(cfg, data, scl, dyn, c: _Carry, iter_number, approximate=False)
         (tr.status == OSQP_DUAL_INFEASIBLE)
         | (tr.status == OSQP_DUAL_INFEASIBLE_INACCURATE)
     )
+    # Backends with an inexact-solve schedule (cg) retune their inner
+    # tolerance from the just-computed residuals (linsys/cg.py).
+    factor = c.factor
+    upd_tol = getattr(linsys_registry.get(cfg.linsys_solver), "update_tolerance", None)
+    if upd_tol is not None:
+        factor = upd_tol(factor, tr.tol_ratio, dyn)
+
     return c._replace(
         info=info,
+        factor=factor,
         active=c.active & ~tr.terminated,
         delta_x=bwhere(dinf, tr.dx_cert, c.delta_x),
         delta_y=bwhere(pinf, tr.dy_cert, c.delta_y),
@@ -198,9 +206,12 @@ def _apply_rho_adaptation(cfg, data, dyn, c: _Carry) -> _Carry:
     upd = c.active & ((est > rs.rho * tol) | (est < rs.rho / tol))
 
     def select_factor(new, old):
-        # cg factors carry unbatched scalar config leaves; they are
-        # identical across the branch, so pass the new one through.
-        return new if new.ndim == 0 else bwhere(upd, new, old)
+        # cg factors carry unbatched scalar config leaves and (for ELL
+        # operands) integer sparsity-pattern leaves; both are identical
+        # across the branch, so pass the new one through.
+        if new.ndim == 0 or jnp.issubdtype(new.dtype, jnp.integer):
+            return new
+        return bwhere(upd, new, old)
 
     def do_update(args):
         rs, factor, info = args

@@ -24,21 +24,58 @@ from ..linalg import mat_tvec, mat_vec, vec_dot
 
 
 def init(P, A, sigma, rho_vec, cg_max_iter: int = 0, cg_tol_fraction: float = 1e-7, **_):
+    from ..sparse_ops import ELLMatrix, ell_diagonal, ell_sq_colsums
+
     n = P.shape[-1]
     m = A.shape[-2]
-    diagM = jnp.diagonal(P, axis1=-2, axis2=-1) + sigma
+    if isinstance(P, ELLMatrix):
+        diagM = ell_diagonal(P) + sigma
+    else:
+        diagM = jnp.diagonal(P, axis1=-2, axis2=-1) + sigma
     if m:
-        diagM = diagM + jnp.einsum(
-            "bm,bmn->bn", rho_vec, A * A, precision="highest"
-        )
+        if isinstance(A, ELLMatrix):
+            diagM = diagM + ell_sq_colsums(A, rho_vec)
+        else:
+            diagM = diagM + jnp.einsum(
+                "bm,bmn->bn", rho_vec, A * A, precision="highest"
+            )
     max_iter = int(cg_max_iter) if cg_max_iter else (n + m)
+    B = rho_vec.shape[0] if m else (
+        P.val.shape[0] if isinstance(P, ELLMatrix) else P.shape[0]
+    )
     return {
         "P": P,
         "sigma": jnp.asarray(sigma, P.dtype),
         "dinv": 1.0 / diagM,
         "max_iter": jnp.asarray(max_iter, jnp.int32),
         "tol_frac": jnp.asarray(cg_tol_fraction, P.dtype),
+        # Adaptive inexact-ADMM relative tolerance, driven by the outer
+        # residuals at every termination check (see update_tolerance).
+        # Starts at the conservative static fraction.
+        "tol_rel": jnp.full((B,), cg_tol_fraction, P.dtype),
     }
+
+
+_TOL_REL_CAP = 1e-2  # never solve the subproblem looser than 1% relative
+
+
+def update_tolerance(factor, tol_ratio, dyn):
+    """Inexact-ADMM schedule: solve the subproblem loosely while the
+    outer iteration is far from its tolerances, proportionally tighter
+    as it closes in (classic summable-error condition: the subproblem
+    error decays with the outer residual).  ``tol_ratio`` is the
+    scale-free max(pri/eps_pri, dua/eps_dua) from the termination
+    check, so the rule needs no unscaled/scaled conversion:
+
+        tol_rel = clip(tol_frac * tol_ratio, tol_frac, 1e-2)
+
+    i.e. exactly tol_frac at convergence, up to 1e-2 when >= 1e5
+    tolerance-units away.  The reference lists the indirect solver as
+    future work (ROADMAP.md:2); this schedule is what makes it
+    competitive at large n."""
+    tf = factor["tol_frac"]
+    tol = jnp.clip(tf * tol_ratio.astype(factor["dinv"].dtype), tf, _TOL_REL_CAP)
+    return {**factor, "tol_rel": tol}
 
 
 def _matvec_M(P, A, sigma, rho_vec, v):
@@ -59,8 +96,12 @@ def solve(factor, A, rho_vec, rhs_x, rhs_z, x0=None):
     z = dinv * r
     p = z
     rz = vec_dot(r, z)
-    tol2 = (factor["tol_frac"] * jnp.linalg.norm(b, axis=-1)) ** 2
-    tol2 = jnp.maximum(tol2, jnp.asarray(1e-30, b.dtype))
+    # Relative tolerance; tol_rel is the adaptive inexact-ADMM schedule
+    # (update_tolerance), equal to tol_frac until the first check.
+    tol = factor.get("tol_rel", factor["tol_frac"]) * jnp.linalg.norm(
+        b, axis=-1
+    )
+    tol2 = jnp.maximum(tol * tol, jnp.asarray(1e-30, b.dtype))
 
     def cond(carry):
         k, _, r, *_ = carry

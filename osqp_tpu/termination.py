@@ -192,6 +192,9 @@ class TermResult(NamedTuple):
     obj_at_term: jax.Array  # (B,) objective for infeasible/noncvx statuses
     dy_cert: jax.Array  # (B, m) certificate (projected, unscaled-at-term)
     dx_cert: jax.Array  # (B, n) certificate (unscaled-at-term)
+    tol_ratio: jax.Array  # (B,) max(pri/eps_pri, dua/eps_dua): scale-free
+    #                       distance from convergence in tolerance units
+    #                       (drives the inexact-CG schedule, linsys/cg.py)
 
 
 def check_termination(
@@ -286,6 +289,11 @@ def check_termination(
         dy_cert = scl.E * dy_proj
         dx_cert = scl.D * delta_x
 
+    tol_ratio = jnp.maximum(
+        pri_res / jnp.maximum(eps_pri, OSQP_DIVISION_TOL),
+        dua_res / jnp.maximum(eps_dua, OSQP_DIVISION_TOL),
+    )
+
     return TermResult(
         terminated=terminated,
         status=status,
@@ -294,6 +302,7 @@ def check_termination(
         obj_at_term=obj_at_term,
         dy_cert=dy_cert,
         dx_cert=dx_cert,
+        tol_ratio=tol_ratio,
     )
 
 
