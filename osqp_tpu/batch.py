@@ -15,6 +15,7 @@ For multi-chip scaling see :mod:`osqp_tpu.parallel`.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -25,7 +26,7 @@ import numpy as np
 from . import admm as admm_mod
 from . import constants as con
 from . import linsys as linsys_registry
-from .admm import set_rho_state, solve_core
+from .admm import set_rho_state
 from .linalg import bwhere, norm_inf, with_high_precision
 from .polish import polish as polish_fn
 from .scaling import scale_data, unscale_solution
@@ -73,9 +74,11 @@ def _prepare(cfg, scaling_iters, P, q, A, l, u, rho0, dyn, x0, y0):
     if x0 is None:
         it = Iterates.cold(B, n, m, dtype)
     else:
+        from .linalg import mat_vec
+
         xs = x0 * scl.Dinv
         ys = y0 * scl.Einv * scl.c[:, None] if m else jnp.zeros((B, m), dtype)
-        zs = jnp.einsum("bmn,bn->bm", scaled.A, xs, precision="highest")
+        zs = mat_vec(scaled.A, xs)
         it = Iterates(x=xs, z=zs, y=ys)
     return scaled, scl, rho_state, factor, it
 
@@ -146,11 +149,6 @@ def _postprocess(cfg, do_polish, refine_iter, scaled, scl, dyn, result):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "scaling_iters", "do_polish", "refine_iter"),
-)
-@with_high_precision
 def solve_batch_jit(
     cfg: StaticConfig,
     scaling_iters: int,
@@ -166,25 +164,37 @@ def solve_batch_jit(
     x0,
     y0,
 ):
-    """End-to-end batched solve; all inputs unscaled device arrays."""
-    scaled, scl, rho_state, factor, it = _prepare(
-        cfg, scaling_iters, P, q, A, l, u, rho0, dyn, x0, y0
-    )
-    result = solve_core(cfg, scaled, scl, dyn, rho_state, factor, it)
-    return _postprocess(cfg, do_polish, refine_iter, scaled, scl, dyn, result)
+    """End-to-end batched solve as ONE device program (the AOT-export /
+    non-interactive mode); all inputs unscaled device arrays.  Reuses the
+    segmented driver's fused first-dispatch executable with the segment
+    spanning the whole iteration range, so the two paths share a single
+    compilation per config."""
+    return _start_c(
+        cfg, scaling_iters, do_polish, refine_iter,
+        P, q, A, l, u, rho0, dyn, x0, y0, cfg.max_iter,
+    )[5]
 
 
 # ---------------------------------------------------------------------------
-# Instance compaction (TPU-native optimization; no reference analogue)
+# Segmented driver: always-on Ctrl-C / time_limit + optional compaction
 # ---------------------------------------------------------------------------
-# In the masked while_loop, terminated instances still cost full memory
-# bandwidth until the *slowest* instance finishes.  The compacting driver
-# runs the loop in check_termination-sized segments on the host and,
+# The default solve path.  The device loop runs in host-sized segments so
+# the host can poll wall-clock time (osqp.c:387-407) and catch Ctrl-C
+# (osqp.c:374-385) between segments — the reference polls both every
+# iteration; here the granularity is a segment (the compiled segment
+# exits early on its own when every instance terminates, so large
+# segments cost nothing except polling latency).  Iteration counts and
+# results are bit-identical to the single-program path because the
+# global counter ``k`` keeps the termination/rho schedules aligned.
+#
+# Optional *instance compaction* (no reference analogue): in the masked
+# while_loop, terminated instances still cost full memory bandwidth
+# until the slowest instance finishes.  With ``compact=True`` the driver,
 # whenever at least half the working set has terminated, gathers the
 # still-active instances into a power-of-two-sized sub-batch (finalizing
 # and scattering the finished ones into full-size accumulators).  The
-# per-instance math is bit-identical to the plain path — compaction only
-# changes which instances share a program.
+# per-instance math is bit-identical — compaction only changes which
+# instances share a program.
 
 _prepare_c = jax.jit(
     with_high_precision(_prepare), static_argnames=("cfg", "scaling_iters")
@@ -192,6 +202,47 @@ _prepare_c = jax.jit(
 _init_carry_c = jax.jit(
     with_high_precision(admm_mod.init_carry), static_argnames=("cfg",)
 )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "scaling_iters", "do_polish", "refine_iter"),
+)
+@with_high_precision
+def _start_c(
+    cfg, scaling_iters, do_polish, refine_iter,
+    P, q, A, l, u, rho0, dyn, x0, y0, end1,
+):
+    """Fused first dispatch of the segmented driver: prepare + first
+    segment + *speculative* finalize/postprocess.  If every instance
+    terminates within ``end1`` iterations (the common case), ``res`` is
+    the complete answer and the whole solve was ONE device program —
+    the same dispatch count as an unsegmented solve.  Otherwise the
+    host continues from ``carry`` and ``res`` is discarded (its compute
+    overlapped with host work; no extra round trip)."""
+    scaled, scl, rho_state, factor, it = _prepare(
+        cfg, scaling_iters, P, q, A, l, u, rho0, dyn, x0, y0
+    )
+    c = admm_mod.init_carry(cfg, scaled, rho_state, factor, it)
+    c = admm_mod.run_segment(cfg, scaled, scl, dyn, c, end1)
+    fin = admm_mod.finalize(cfg, scaled, scl, dyn, c)
+    res = _postprocess(cfg, do_polish, refine_iter, scaled, scl, dyn, fin)
+    return scaled, scl, rho_state, factor, c, res
+
+
+@partial(jax.jit, static_argnames=("cfg", "do_polish", "refine_iter",
+                                   "fallback_status", "run_checks"))
+@with_high_precision
+def _finish_c(
+    cfg, do_polish, refine_iter, scaled, scl, dyn, c,
+    fallback_status, run_checks,
+):
+    """Fused final dispatch: finalize + postprocess."""
+    fin = admm_mod.finalize(
+        cfg, scaled, scl, dyn, c,
+        fallback_status=fallback_status, run_checks=run_checks,
+    )
+    return _postprocess(cfg, do_polish, refine_iter, scaled, scl, dyn, fin)
 _segment_c = jax.jit(
     with_high_precision(admm_mod.run_segment), static_argnames=("cfg",)
 )
@@ -233,16 +284,98 @@ def _scatter_tree(acc, sub, gidx):
     return jax.tree_util.tree_map(put, acc, sub)
 
 
-def _solve_compacting(
+def _solve_segmented(
     cfg, scaling_iters, do_polish, refine_iter,
-    P, q, A, l, u, rho0, dyn, x0, y0, min_batch: int = 256,
+    P, q, A, l, u, rho0, dyn, x0, y0,
+    compact: bool = False, min_batch: int = 256, time_limit: float = 0.0,
+    base_time: float = 0.0,
 ):
+    t0 = time.perf_counter()
+    B = q.shape[0]
+    check = cfg.check_termination if cfg.check_termination > 0 else 25
+    # Segment length = Ctrl-C / time_limit polling granularity.  The
+    # compiled segment exits on its own as soon as every instance
+    # terminates, so long segments waste no iterations; compaction wants
+    # per-check granularity to react to terminations.
+    seg = check if compact else max(4 * check, 100)
+    fallback = con.OSQP_MAX_ITER_REACHED
+    run_checks = True
+
+    if not compact:
+        # First dispatch is the fused program (speculative result); the
+        # continuation loop uses depth-1 pipelined polling: enqueue the
+        # NEXT segment before downloading the previous segment's active
+        # mask, so the device never idles on the host round trip (an
+        # enqueued segment whose instances all terminated is a no-op —
+        # the while_loop cond fails at entry).
+        first_end = min(4 * seg, cfg.max_iter)
+        try:
+            scaled, scl, rho_state, factor, c, res = _start_c(
+                cfg, scaling_iters, do_polish, refine_iter,
+                P, q, A, l, u, rho0, dyn, x0, y0, first_end,
+            )
+        except KeyboardInterrupt:
+            # Interrupted before any usable state — rerun the minimal
+            # pieces (cached programs) for a well-formed all-SIGINT result.
+            scaled, scl, rho_state, factor, it = _prepare_c(
+                cfg, scaling_iters, P, q, A, l, u, rho0, dyn, x0, y0
+            )
+            c = _init_carry_c(cfg, scaled, rho_state, factor, it)
+            return _finish_c(
+                cfg, do_polish, refine_iter, scaled, scl, dyn, c,
+                fallback_status=con.OSQP_SIGINT, run_checks=False,
+            )
+        try:
+            if first_end >= cfg.max_iter:
+                return res  # whole range fit in the fused program
+            act = np.asarray(c.active)  # the only poll on the happy path
+            if not act.any():
+                # Everything terminated within the fused first program:
+                # its speculative result is the answer and the whole
+                # solve was ONE dispatch + one small download.
+                return res
+            # Long solve: depth-1 pipelined polling — enqueue the NEXT
+            # segment before downloading the current one's active mask,
+            # so the device never idles on the host round trip (an
+            # enqueued segment whose instances all terminated is a
+            # no-op — the while_loop cond fails at entry).
+            end1 = min(first_end + seg, cfg.max_iter)
+            c1 = _segment_c(cfg, scaled, scl, dyn, c, end1)
+            c = c1  # on interrupt, finalize from the newest bounded segment
+            while True:
+                if end1 >= cfg.max_iter:
+                    c = c1  # finalize applies the MAX_ITER fallback
+                    break
+                end2 = min(end1 + seg, cfg.max_iter)
+                c2 = _segment_c(cfg, scaled, scl, dyn, c1, end2)
+                c = c1
+                act = np.asarray(c1.active)  # overlaps c2 on device
+                if not act.any():
+                    c = c2  # queued no-op; same state
+                    break
+                if time_limit > 0 and (
+                    base_time + time.perf_counter() - t0 >= time_limit
+                ):
+                    # c1 (completed) respects the limit; c2's extra
+                    # segment is discarded device work.
+                    c = c1
+                    fallback = con.OSQP_TIME_LIMIT_REACHED
+                    break
+                c1, end1 = c2, end2
+        except KeyboardInterrupt:
+            # osqp.c:374-385: SIGINT exits immediately, no further checks.
+            fallback = con.OSQP_SIGINT
+            run_checks = False
+            print("Solver interrupted")
+        return _finish_c(
+            cfg, do_polish, refine_iter, scaled, scl, dyn, c,
+            fallback_status=fallback, run_checks=run_checks,
+        )
+
     scaled, scl, rho_state, factor, it = _prepare_c(
         cfg, scaling_iters, P, q, A, l, u, rho0, dyn, x0, y0
     )
     carry = _init_carry_c(cfg, scaled, rho_state, factor, it)
-    B = q.shape[0]
-    seg = cfg.check_termination if cfg.check_termination > 0 else 25
 
     # Full-size device accumulators for the result pieces _postprocess
     # needs; initialized from the fresh carry (overwritten via scatter).
@@ -255,63 +388,77 @@ def _solve_compacting(
 
     data, sclc, c = scaled, scl, carry
     gidx = np.arange(B, dtype=np.int32)  # host mirror: local row -> global
+
     k = 1
-    while k <= cfg.max_iter:
-        end = min(k + seg - 1, cfg.max_iter)
-        c = _segment_c(cfg, data, sclc, dyn, c, end)
-        k = end + 1
-        act = np.asarray(c.active)
-        na = int(act.sum())
-        if na == 0 or k > cfg.max_iter:
-            break
-        Bs = act.shape[0]
-        target = max(_next_pow2(na), int(min_batch))
-        if target > Bs // 2:
-            continue
+    try:
+        while k <= cfg.max_iter:
+            end = min(k + seg - 1, cfg.max_iter)
+            c = _segment_c(cfg, data, sclc, dyn, c, end)
+            k = end + 1
+            act = np.asarray(c.active)
+            na = int(act.sum())
+            if na == 0 or k > cfg.max_iter:
+                break
+            if time_limit > 0 and (
+                base_time + time.perf_counter() - t0 >= time_limit
+            ):
+                fallback = con.OSQP_TIME_LIMIT_REACHED
+                break
+            Bs = act.shape[0]
+            target = max(_next_pow2(na), int(min_batch))
+            if target > Bs // 2:
+                continue
 
-        keep = np.nonzero(act)[0]
-        drop = np.nonzero(~act)[0]
+            keep = np.nonzero(act)[0]
+            drop = np.nonzero(~act)[0]
 
-        # Finalize + scatter the finished cohort (padded to a bucket so
-        # the finalize program compiles once per size; capped at Bs so a
-        # large drop set on a non-power-of-two batch still compacts).
-        dsize = min(max(_next_pow2(len(drop)), int(min_batch)), Bs)
-        if dsize >= len(drop):
-            didx = np.zeros(dsize, np.int32)
-            didx[: len(drop)] = drop
-            didx_dev = jnp.asarray(didx)
-            sub_data = _gather_tree(data, didx_dev)
-            sub_scl = _gather_tree(sclc, didx_dev)
-            sub_c = _gather_tree(c, didx_dev)
-            fin = _finalize_c(cfg, sub_data, sub_scl, dyn, sub_c)
-            gsc = np.full(dsize, B, np.int32)  # OOB = dropped
-            gsc[: len(drop)] = gidx[drop]
-            acc = _scatter_tree(
-                acc,
-                {
-                    "it": fin.iterates,
-                    "info": fin.info,
-                    "dx": fin.delta_x,
-                    "dy": fin.delta_y,
-                },
-                jnp.asarray(gsc),
-            )
+            # Finalize + scatter the finished cohort (padded to a bucket so
+            # the finalize program compiles once per size; capped at Bs so a
+            # large drop set on a non-power-of-two batch still compacts).
+            dsize = min(max(_next_pow2(len(drop)), int(min_batch)), Bs)
+            if dsize >= len(drop):
+                didx = np.zeros(dsize, np.int32)
+                didx[: len(drop)] = drop
+                didx_dev = jnp.asarray(didx)
+                sub_data = _gather_tree(data, didx_dev)
+                sub_scl = _gather_tree(sclc, didx_dev)
+                sub_c = _gather_tree(c, didx_dev)
+                fin = _finalize_c(cfg, sub_data, sub_scl, dyn, sub_c)
+                gsc = np.full(dsize, B, np.int32)  # OOB = dropped
+                gsc[: len(drop)] = gidx[drop]
+                acc = _scatter_tree(
+                    acc,
+                    {
+                        "it": fin.iterates,
+                        "info": fin.info,
+                        "dx": fin.delta_x,
+                        "dy": fin.delta_y,
+                    },
+                    jnp.asarray(gsc),
+                )
 
-            # Compact the active cohort.
-            kidx = np.zeros(target, np.int32)
-            kidx[:na] = keep
-            kidx_dev = jnp.asarray(kidx)
-            data = _gather_tree(data, kidx_dev)
-            sclc = _gather_tree(sclc, kidx_dev)
-            c = _gather_tree(c, kidx_dev)
-            pad_mask = jnp.asarray(np.arange(target) < na)
-            c = c._replace(active=c.active & pad_mask)
-            new_gidx = np.full(target, B, np.int32)
-            new_gidx[:na] = gidx[keep]
-            gidx = new_gidx
+                # Compact the active cohort.
+                kidx = np.zeros(target, np.int32)
+                kidx[:na] = keep
+                kidx_dev = jnp.asarray(kidx)
+                data = _gather_tree(data, kidx_dev)
+                sclc = _gather_tree(sclc, kidx_dev)
+                c = _gather_tree(c, kidx_dev)
+                pad_mask = jnp.asarray(np.arange(target) < na)
+                c = c._replace(active=c.active & pad_mask)
+                new_gidx = np.full(target, B, np.int32)
+                new_gidx[:na] = gidx[keep]
+                gidx = new_gidx
+    except KeyboardInterrupt:
+        # osqp.c:374-385: SIGINT exits immediately, no further checks.
+        fallback = con.OSQP_SIGINT
+        run_checks = False
+        print("Solver interrupted")
 
     # Final cohort: normal finalize (fallback status for still-active).
-    fin = _finalize_c(cfg, data, sclc, dyn, c)
+    fin = _finalize_c(
+        cfg, data, sclc, dyn, c, fallback_status=fallback, run_checks=run_checks
+    )
     acc = _scatter_tree(
         acc,
         {"it": fin.iterates, "info": fin.info, "dx": fin.delta_x,
@@ -349,19 +496,24 @@ def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
 
 def solve_batch(
     P, q, A, l, u, x0=None, y0=None, compact=False, min_compact_batch=256,
-    **settings,
+    segmented=True, **settings,
 ) -> BatchSolveResults:
-    """Solve B same-shape QPs in one compiled batched program.
+    """Solve B same-shape QPs as one batched device program.
 
     Args:
       P: (B, n, n) dense symmetric cost matrices.
       q: (B, n); A: (B, m, n); l, u: (B, m) (entries beyond +-1e30 are
          clamped to the reference's finite infinity, constants.h:98-100).
       x0, y0: optional warm starts (unscaled).
-      compact: shrink the working batch as instances terminate (host-
-         segmented loop; per-instance results identical, saves the
-         bandwidth wasted on frozen instances when iteration counts are
-         dispersed).  ``min_compact_batch`` floors the sub-batch size.
+      compact: shrink the working batch as instances terminate (saves
+         the bandwidth wasted on frozen instances when iteration counts
+         are dispersed; per-instance results identical).
+         ``min_compact_batch`` floors the sub-batch size.
+      segmented: run via the host-segmented driver (default), which
+         honors ``time_limit`` and Ctrl-C between segments the way the
+         reference polls them every iteration (osqp.c:374-407).  Pass
+         False to trace the entire solve as one device program (no host
+         interaction — the AOT-export/embedded mode).
       **settings: reference setting names (see :class:`Settings`).
 
     Returns a :class:`BatchSolveResults` of device arrays.
@@ -418,6 +570,11 @@ def solve_batch(
         x0,
         y0,
     )
-    if compact:
-        return _solve_compacting(*args, min_batch=int(min_compact_batch))
+    if compact or segmented:
+        return _solve_segmented(
+            *args,
+            compact=bool(compact),
+            min_batch=int(min_compact_batch),
+            time_limit=float(s.time_limit),
+        )
     return solve_batch_jit(*args)

@@ -35,7 +35,7 @@ import numpy as np
 from . import constants as con
 from . import linsys as linsys_registry
 from . import admm as admm_mod
-from .admm import set_rho_state, solve_core, update_rho_state
+from .admm import set_rho_state, update_rho_state
 from .constants import ErrorCode, OSQPError
 from .linalg import with_high_precision
 from .polish import polish as polish_fn
@@ -205,8 +205,6 @@ def _device_setup(cfg: StaticConfig, scaling_iters: int, P, q, A, l, u, rho, dyn
     return scaled, scl, rho_state, factor, cvx_ok
 
 
-_device_solve = jax.jit(with_high_precision(solve_core), static_argnames=("cfg",))
-
 _device_init_carry = jax.jit(
     with_high_precision(admm_mod.init_carry), static_argnames=("cfg",)
 )
@@ -354,22 +352,13 @@ class Solver:
         if not self.settings.warm_start:
             iterates = Iterates.cold(1, self.n, self.m, self._dtype)
 
-        # Segmented host loop when the solve needs host interaction:
-        # time_limit polling (osqp.c:387-407), per-interval printing
-        # (osqp.c:414-427), Ctrl-C polling (osqp.c:374-385).  Otherwise
-        # the whole solve is one device program.
-        if self.settings.time_limit > 0 or self.settings.verbose:
-            result = self._solve_segmented(iterates, t0)
-        else:
-            result = _device_solve(
-                self._cfg,
-                self.data,
-                self.scaling,
-                self._dyn,
-                self.rho_state,
-                self.factor,
-                iterates,
-            )
+        # Always the segmented host loop — time_limit polling
+        # (osqp.c:387-407), per-interval printing (osqp.c:414-427) and
+        # Ctrl-C polling (osqp.c:374-385) are always on, like the
+        # reference's per-iteration polls.  The compiled segment is the
+        # same program either way; segment length is only the polling
+        # granularity (the device loop exits early on termination).
+        result = self._solve_segmented(iterates, t0)
         jax.block_until_ready(result.info.status_val)
         self.info.solve_time = time.perf_counter() - t0
 
@@ -489,7 +478,12 @@ class Solver:
         cfg = self._cfg
         verbose = bool(self.settings.verbose)
         time_limit = float(self.settings.time_limit)
-        seg = cfg.check_termination if cfg.check_termination > 0 else 25
+        check = cfg.check_termination if cfg.check_termination > 0 else 25
+        # Non-verbose solves poll at a coarser granularity — the device
+        # segment exits on its own at termination, so long segments cost
+        # nothing but Ctrl-C/time_limit latency.  Verbose needs per-check
+        # granularity for the summary rows.
+        seg = check if verbose else max(4 * check, 100)
 
         c = _device_init_carry(cfg, self.data, self.rho_state, self.factor, iterates)
         if verbose:

@@ -3,6 +3,7 @@
 multi-device path (8 virtual CPU devices)."""
 
 import numpy as np
+import pytest
 from numpy.random import Generator, PCG64
 
 import jax
@@ -40,6 +41,8 @@ class TestBatch:
             assert int(res.iter[i]) == ri.info.iter
             np.testing.assert_allclose(np.asarray(res.x[i]), ri.x, atol=1e-10)
             np.testing.assert_allclose(np.asarray(res.y[i]), ri.y, atol=1e-10)
+
+    @pytest.mark.nanok
 
     def test_batch_mixed_statuses(self):
         """A batch mixing solvable and primal-infeasible instances."""

@@ -50,6 +50,59 @@ def test_sigint_between_segments(monkeypatch):
     assert res2.info.status_val == con.OSQP_SOLVED
 
 
+def test_sigint_default_settings(monkeypatch):
+    """Ctrl-C works on a *default-settings* solve (no time_limit, no
+    verbose): every solve goes through the segmented path (round-2
+    change; reference polls SIGINT every iteration, osqp.c:374-385)."""
+    P, q, A, l, u = _problem()
+    s = Solver(P, q, A, l, u, eps_abs=0.0, eps_rel=1e-18, max_iter=4000)
+
+    def interrupting_segment(*args, **kw):
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(solver_mod, "_device_segment", interrupting_segment)
+    res = s.solve()
+    assert res.info.status_val == con.OSQP_SIGINT
+
+
+def test_sigint_solve_batch(monkeypatch):
+    """The batched API is interruptible too: KeyboardInterrupt between
+    segments finalizes still-active instances with OSQP_SIGINT."""
+    import osqp_tpu.batch as batch_mod
+
+    P, q, A, l, u = _problem()
+    Pb, qb = P[None], q[None]
+    Ab, lb, ub = A[None], l[None], u[None]
+
+    real_segment = batch_mod._segment_c
+    calls = {"n": 0}
+
+    def interrupting_segment(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise KeyboardInterrupt
+        return real_segment(*args, **kw)
+
+    monkeypatch.setattr(batch_mod, "_segment_c", interrupting_segment)
+    res = batch_mod.solve_batch(
+        Pb, qb, Ab, lb, ub, eps_abs=0.0, eps_rel=1e-18, max_iter=100000,
+        verbose=False,
+    )
+    assert int(res.status_val[0]) == con.OSQP_SIGINT
+
+
+def test_time_limit_solve_batch():
+    """settings.time_limit is honored on the batched path
+    (osqp.c:387-407 analogue)."""
+    P, q, A, l, u = _problem()
+    res = __import__("osqp_tpu.batch", fromlist=["solve_batch"]).solve_batch(
+        P[None], q[None], A[None], l[None], u[None],
+        eps_abs=0.0, eps_rel=1e-18, max_iter=1000000, time_limit=1e-9,
+        check_termination=0, verbose=False,
+    )
+    assert int(res.status_val[0]) == con.OSQP_TIME_LIMIT_REACHED
+
+
 def test_time_limit_status():
     """Time limit with *unreachable* tolerances stays TIME_LIMIT_REACHED.
     (With reachable tolerances the reference also flips to solved after
