@@ -27,7 +27,13 @@ from typing import Any, Sequence
 import numpy as np
 
 from .batch import solve_batch
-from .constants import OSQP_INFTY
+from .constants import (
+    OSQP_DUAL_INFEASIBLE,
+    OSQP_DUAL_INFEASIBLE_INACCURATE,
+    OSQP_INFTY,
+    OSQP_PRIMAL_INFEASIBLE,
+    OSQP_PRIMAL_INFEASIBLE_INACCURATE,
+)
 
 
 def _next_bucket(v: int, minimum: int = 8) -> int:
@@ -49,6 +55,8 @@ class ProblemResult:
     y: np.ndarray
     n: int
     m: int
+    prim_inf_cert: np.ndarray | None = None  # set on primal-infeasible exits
+    dual_inf_cert: np.ndarray | None = None  # set on dual-infeasible exits
 
 
 def pad_problem(P, q, A, l, u, N: int, M: int):
@@ -122,6 +130,10 @@ def solve_problems(
         obj = np.asarray(res.obj_val)
         pri = np.asarray(res.pri_res)
         dua = np.asarray(res.dua_res)
+        pic = np.asarray(res.prim_inf_cert)
+        dic = np.asarray(res.dual_inf_cert)
+        _PINF = (OSQP_PRIMAL_INFEASIBLE, OSQP_PRIMAL_INFEASIBLE_INACCURATE)
+        _DINF = (OSQP_DUAL_INFEASIBLE, OSQP_DUAL_INFEASIBLE_INACCURATE)
         for b, (idx, name, Pd, q, Ad, l, u) in enumerate(items):
             n, m = q.shape[0], l.shape[0]
             results[idx] = ProblemResult(
@@ -135,5 +147,7 @@ def solve_problems(
                 y=y[b, :m],
                 n=n,
                 m=m,
+                prim_inf_cert=pic[b, :m] if int(sv[b]) in _PINF else None,
+                dual_inf_cert=dic[b, :n] if int(sv[b]) in _DINF else None,
             )
     return results  # type: ignore[return-value]

@@ -138,25 +138,32 @@ def run_maros(
         con.OSQP_DUAL_INFEASIBLE,
     )
     if fallback_dtype is not None:
-        from .solver import Solver
-
         fb_settings = dict(settings)
         fb_settings["dtype"] = fallback_dtype
-        # rows is in problems order in both the single and batched paths
-        for r, qp in zip(rows, problems):
-            if r["status_val"] in _final_statuses:
-                continue
-            s = Solver(P=qp.P, q=qp.q, A=qp.A, l=qp.l, u=qp.u, **fb_settings)
-            rr = s.solve()
-            r.update(
-                status=rr.info.status,
-                status_val=rr.info.status_val,
-                iter=rr.info.iter,
-                obj=rr.info.obj_val + qp.obj_constant,
-                pri_res=rr.info.pri_res,
-                dua_res=rr.info.dua_res,
-                fallback=True,
+        # rows is in problems order in both the single and batched paths.
+        # Failures are re-bucketed and re-solved as batches (one device
+        # program per shape bucket) rather than one-by-one — fallback
+        # wall-clock scales with bucket count, not failure count.
+        retry = [
+            (i, qp)
+            for i, (r, qp) in enumerate(zip(rows, problems))
+            if r["status_val"] not in _final_statuses
+        ]
+        if retry:
+            fb_results = solve_problems(
+                [(qp.name, qp.P, qp.q, qp.A, qp.l, qp.u) for _, qp in retry],
+                **fb_settings,
             )
+            for (i, qp), rr in zip(retry, fb_results):
+                rows[i].update(
+                    status=con.STATUS_MESSAGE.get(rr.status_val, "?"),
+                    status_val=rr.status_val,
+                    iter=rr.iter,
+                    obj=rr.obj_val + qp.obj_constant,
+                    pri_res=rr.pri_res,
+                    dua_res=rr.dua_res,
+                    fallback=True,
+                )
 
     total_time = time.perf_counter() - t0
 
