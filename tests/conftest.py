@@ -15,17 +15,52 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite compiles hundreds of distinct programs in one process; with
+# the default parallel codegen split (32 LLVM JIT modules per program)
+# XLA:CPU eventually segfaults in backend_compile_and_load after ~400
+# programs (JIT code-memory exhaustion).  One module per program keeps
+# the suite stable and compiles are disk-cached anyway.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite compiles hundreds of programs
+# (each distinct StaticConfig is a fresh executable); caching them on
+# disk makes re-runs start-to-green in well under a minute and halves
+# first-run compile pressure on XLA:CPU.
+_cache_dir = os.environ.get("OSQP_TPU_TEST_CACHE", "/tmp/osqp_tpu_xla_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# Sanitizer mode (the reference CI's valgrind-memcheck analogue, SURVEY
+# §5): JAX_SANITIZE=1 runs tests with jax_debug_nans — any NaN appearing
+# in a jitted computation's output aborts with a located traceback.
+# Tests that produce NaNs BY DESIGN (infeasibility certificates,
+# non-convex divergence, NaN-filled store_solution) carry the ``nanok``
+# marker and are skipped in this mode.
+SANITIZE = os.environ.get("JAX_SANITIZE", "0") == "1"
+if SANITIZE:
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np
 import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    if not SANITIZE:
+        return
+    skip = pytest.mark.skip(reason="produces NaNs by design (nanok)")
+    for item in items:
+        if "nanok" in item.keywords:
+            item.add_marker(skip)
+
 
 TESTS_TOL = 1e-4  # tests/osqp_tester.h:9
 

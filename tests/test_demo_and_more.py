@@ -62,12 +62,16 @@ class TestNonCvx:
         u = np.array([0.0, 0.0, -15.0, 100.0, 80.0])
         return P, q, A, l, u
 
+    @pytest.mark.nanok
+
     def test_setup_fails_small_sigma(self):
         """Default sigma=1e-6: factorization detects indefinite P
         (qdldl_interface.c:93-99 -> OSQP_NONCVX_ERROR)."""
         P, q, A, l, u = self.problem()
         with pytest.raises(osqp_tpu.NonConvexError):
             osqp_tpu.Solver(P=P, q=q, A=A, l=l, u=u, verbose=False)
+
+    @pytest.mark.nanok
 
     def test_solve_diverges_big_sigma(self):
         """sigma=5 passes setup; solve detects divergence -> OSQP_NON_CVX,

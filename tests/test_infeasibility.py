@@ -6,6 +6,9 @@ test_primal_dual_infeasibility.h:9-231.
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.nanok  # certificates / NaN-filled solutions by design
 import scipy.sparse as sp
 from numpy.random import Generator, PCG64
 

@@ -32,6 +32,9 @@ def test_identity_residual_small_f32():
     assert np.max(np.abs(R)) < 1e-4
 
 
+@pytest.mark.nanok
+
+
 def test_nan_propagates_for_indefinite():
     M = _spd(2, 16, seed=2)
     M[1] -= 3.0 * np.eye(16)  # make instance 1 indefinite
