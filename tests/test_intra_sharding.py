@@ -40,6 +40,58 @@ def test_sharded_single_matches_unsharded():
     assert res_s.y.shape == (1, 50)  # padding rows stripped
 
 
+def test_sharded_outputs_actually_sharded_and_hlo_has_collectives():
+    """Regression guard: a fall-back to fully-replicated execution would
+    still pass the numeric test above — assert the row-sharded layout
+    survives to the outputs AND the compiled program contains the
+    cross-device reduction XLA must insert for A'(rho v) / norms."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from osqp_tpu.batch import make_config, solve_batch_jit
+    from osqp_tpu.solver import Settings
+    from osqp_tpu.types import DynSettings
+
+    n, m = 24, 48  # m divisible by the mesh -> no padding/stripping
+    P, q, A, l, u = _qp(n=n, m=m)
+    mesh = make_mesh(8)
+    res = solve_single_sharded(P, q, A, l, u, mesh=mesh, verbose=False)
+    assert int(np.asarray(res.status_val)[0]) == con.OSQP_SOLVED
+    assert not res.y.sharding.is_fully_replicated, res.y.sharding
+
+    # HLO of the fused solve program on these shardings
+    row = NamedSharding(mesh, PartitionSpec(None, "batch"))
+    row3 = NamedSharding(mesh, PartitionSpec(None, "batch", None))
+    repl = NamedSharding(mesh, PartitionSpec())
+    s = Settings(linsys_solver="cg", polish=False)
+    dtype = jnp.float64
+    cfg = make_config(n, m, s, dtype)
+    dyn = DynSettings.make(
+        dtype, sigma=s.sigma, alpha=s.alpha, eps_abs=s.eps_abs,
+        eps_rel=s.eps_rel, eps_prim_inf=s.eps_prim_inf,
+        eps_dual_inf=s.eps_dual_inf,
+        adaptive_rho_tolerance=s.adaptive_rho_tolerance, delta=s.delta,
+    )
+    args = (
+        jax.device_put(jnp.asarray(P, dtype)[None], repl),
+        jax.device_put(jnp.asarray(q, dtype)[None], repl),
+        jax.device_put(jnp.asarray(A, dtype)[None], row3),
+        jax.device_put(jnp.asarray(l, dtype)[None], row),
+        jax.device_put(jnp.asarray(u, dtype)[None], row),
+        jnp.full((1,), s.rho, dtype),
+    )
+    import jax as _jax
+
+    f = _jax.jit(
+        lambda P_, q_, A_, l_, u_, r_: solve_batch_jit(
+            cfg, int(s.scaling), False, 0, P_, q_, A_, l_, u_, r_, dyn,
+            None, None,
+        )
+    )
+    txt = f.lower(*args).compile().as_text()
+    assert "all-reduce" in txt, "expected cross-device reductions in HLO"
+
+
 def test_sharded_single_rejects_polish_and_direct_backends():
     P, q, A, l, u = _qp()
     with pytest.raises(ValueError):
