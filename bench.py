@@ -8,6 +8,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference OSQP publishes no in-repo numbers (README.md:42-43);
 vs_baseline is measured against the driver target of 10,000 QPs/s/chip
 (BASELINE.json north_star), i.e. vs_baseline = value / 10000.
+
+BENCH_CONFIGS=all additionally runs BASELINE.json configs 3 (portfolio
+n=500 with warm-started parametric updates) and 4 (MPC scenario batch,
+1000 instances, horizon 30, block_tridiag backend), prints their JSON
+lines to stderr, and records everything in BENCH_DETAILS.json.
 """
 
 from __future__ import annotations
@@ -34,6 +39,129 @@ def make_qps(B, n, m, seed=0, dtype=np.float32):
     l = Ax - spread - 0.1
     u = Ax + spread + 0.1
     return P, q, A, l, u
+
+
+def _force(res):
+    """Force completion via a small download (block_until_ready alone is
+    unreliable on the tunneled backend)."""
+    np.asarray(res.status_val)
+    return res
+
+
+def bench_portfolio(reps=3):
+    """BASELINE config 3: portfolio family, n=500 assets (factor model,
+    k=50 -> nv=550), B instances, K warm-started parametric re-solves
+    with new expected returns (the reference's update/re-solve loop,
+    osqp.c:765-795, at batch scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from osqp_tpu.models import build_portfolio
+    from osqp_tpu.parametric import BatchedSolver
+
+    B = int(os.environ.get("BENCH_PF_BATCH", "256"))
+    n, k = 500, 50
+    K = int(os.environ.get("BENCH_PF_UPDATES", "8"))
+    rng = np.random.default_rng(0)
+    Ps, qs, As, ls, us = [], [], [], [], []
+    for _ in range(B):
+        mu = rng.standard_normal(n)
+        F = rng.standard_normal((n, k)) / np.sqrt(k)
+        D = np.abs(rng.standard_normal(n)) * np.sqrt(k)
+        P, q, A, l, u = build_portfolio(mu, F, D, gamma=1.0)
+        Ps.append(P), qs.append(q), As.append(A), ls.append(l), us.append(u)
+    nv = qs[0].shape[0]
+    bs = BatchedSolver(
+        np.stack(Ps), np.stack(qs), np.stack(As), np.stack(ls), np.stack(us),
+        dtype="float32", eps_abs=1e-3, eps_rel=1e-3, polish=False,
+        verbose=False,
+    )
+    res = _force(bs.solve())  # compile + cold solve
+    q_new = jnp.asarray(np.stack(qs), jnp.float32)
+
+    t0 = time.perf_counter()
+    total_iters = 0
+    for j in range(K):
+        # new expected returns -> new linear cost, warm-started re-solve
+        bs.update_lin_cost(q_new * (1.0 + 0.01 * (j + 1)))
+        res = _force(bs.solve())
+        total_iters += int(np.asarray(res.iter).sum())
+    dt = time.perf_counter() - t0
+    solved = float(np.mean(np.asarray(res.status_val) == 1))
+    qps = B * K / dt
+    return {
+        "metric": f"portfolio_parametric_n{nv}_B{B}",
+        "value": round(qps, 1),
+        "unit": "QPs/s/chip (warm-started re-solves)",
+        "vs_baseline": round(qps / BASELINE_QPS_PER_SEC, 4),
+        "iters_per_sec": round(total_iters / dt, 1),
+        "solved": solved,
+    }
+
+
+def bench_mpc(reps=2):
+    """BASELINE config 4: MPC scenario batch — 1000 OCP instances,
+    horizon N=30, block-banded KKT via the block_tridiag backend
+    (O(N b^3) factorization), vs the dense dense_inv backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from osqp_tpu.batch import solve_batch
+    from osqp_tpu.models import build_mpc_qp
+
+    B = int(os.environ.get("BENCH_MPC_BATCH", "1000"))
+    nx, nu, N = 8, 4, 30
+    rng = np.random.default_rng(0)
+    Ad = np.eye(nx) + 0.05 * rng.standard_normal((nx, nx)) / np.sqrt(nx)
+    Bd = rng.standard_normal((nx, nu)) / np.sqrt(nx)
+    base = build_mpc_qp(
+        Ad, Bd, np.eye(nx), 0.1 * np.eye(nu), horizon=N,
+        xmin=np.full(nx, -10.0), xmax=np.full(nx, 10.0),
+        umin=np.full(nu, -1.0), umax=np.full(nu, 1.0),
+    )
+    # Scenario batch: same dynamics, per-scenario initial state.
+    xinits = rng.standard_normal((B, nx))
+    l = np.broadcast_to(base.l, (B,) + base.l.shape).copy()
+    u = np.broadcast_to(base.u, (B,) + base.u.shape).copy()
+    l[:, :nx] = xinits
+    u[:, :nx] = xinits
+    P = np.broadcast_to(base.P, (B,) + base.P.shape)
+    q = np.broadcast_to(base.q, (B,) + base.q.shape)
+    A = np.broadcast_to(base.A, (B,) + base.A.shape)
+
+    out = {}
+    stage = [jax.device_put(jnp.asarray(v, jnp.float32)) for v in (P, q, A, l, u)]
+    for backend, kw in (
+        ("block_tridiag", dict(block_size=base.block_size)),
+        ("dense_inv", {}),
+    ):
+        kwargs = dict(
+            dtype="float32", eps_abs=1e-3, eps_rel=1e-3, polish=False,
+            verbose=False, linsys_solver=backend, **kw,
+        )
+        res = _force(solve_batch(*stage, **kwargs))  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = _force(solve_batch(*stage, **kwargs))
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        iters = np.asarray(res.iter)
+        out[backend] = dict(
+            time=round(dt, 3),
+            qps=round(B / dt, 1),
+            iters_per_sec=round(float(iters.sum()) / dt, 1),
+            solved=float(np.mean(np.asarray(res.status_val) == 1)),
+            mean_iters=float(iters.mean()),
+        )
+    nv = base.P.shape[0]
+    return {
+        "metric": f"mpc_scenario_batch_B{B}_N{N}_nv{nv}",
+        "value": out["block_tridiag"]["qps"],
+        "unit": "QPs/s/chip",
+        "vs_baseline": round(out["block_tridiag"]["qps"] / BASELINE_QPS_PER_SEC, 4),
+        "backends": out,
+    }
 
 
 def main():
@@ -90,16 +218,23 @@ def main():
         f"max_iters={iters.max()} time={dt:.3f}s",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"batched_qp_throughput_n{n}_m{m}",
-                "value": round(qps, 1),
-                "unit": "QPs/s/chip",
-                "vs_baseline": round(qps / BASELINE_QPS_PER_SEC, 4),
-            }
-        )
-    )
+    headline = {
+        "metric": f"batched_qp_throughput_n{n}_m{m}",
+        "value": round(qps, 1),
+        "unit": "QPs/s/chip",
+        "vs_baseline": round(qps / BASELINE_QPS_PER_SEC, 4),
+    }
+
+    if os.environ.get("BENCH_CONFIGS", "") == "all":
+        details = {"random_qp_n100_m200": dict(headline, mean_iters=float(iters.mean()))}
+        for name, fn in (("portfolio", bench_portfolio), ("mpc", bench_mpc)):
+            r = fn()
+            details[name] = r
+            print("# " + json.dumps(r), file=sys.stderr)
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=1)
+
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
