@@ -30,6 +30,7 @@ callers rely on exactly as they rely on cholesky NaNs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -65,21 +66,37 @@ def _chol_inv_base1(M):
     return L, 1.0 / L
 
 
-def _chol_inv(M):
+def _chol_inv_leaf(M):
+    """(L, L^-1) via lax cholesky + triangular solve.  Serializes into
+    O(n) panel steps on TPU, so it is only used as the recursion leaf
+    for LARGE matrices, where the batch is small (a large-n dense batch
+    cannot fit in HBM anyway) and where unrolling the base-2 recursion
+    would blow up the XLA graph (n leaves -> minutes of compile time)."""
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
+    T = jax.lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True
+    )
+    return L, T
+
+
+def _chol_inv(M, leaf: int = 2):
     """Joint (L, L^-1) for (B, n, n) with n a power of two."""
     n = M.shape[-1]
     if n == 1:
         return _chol_inv_base1(M)
     if n == 2:
         return _chol_inv_base2(M)
+    if n <= leaf:
+        return _chol_inv_leaf(M)
     h = n // 2
     M11 = M[:, :h, :h]
     M21 = M[:, h:, :h]
     M22 = M[:, h:, h:]
-    L11, T11 = _chol_inv(M11)
+    L11, T11 = _chol_inv(M11, leaf)
     L21 = _gemm(M21, jnp.swapaxes(T11, -1, -2))
     S = M22 - _gemm(L21, jnp.swapaxes(L21, -1, -2))
-    L22, T22 = _chol_inv(S)
+    L22, T22 = _chol_inv(S, leaf)
     T21 = -_gemm(T22, _gemm(L21, T11))
     zero = jnp.zeros_like(L21)
     ztop = jnp.swapaxes(zero, -1, -2)
@@ -115,6 +132,11 @@ def spd_inverse(M, newton_schulz: int = 1):
     Ms = M * d[:, :, None] * d[:, None, :]
 
     npad = max(2, 1 << (n - 1).bit_length())  # next power of two >= n
+    # Leaf size: pure closed-form base-2 recursion up to 512 (the
+    # huge-batch hot path; graph stays small), panel leaves of npad/16
+    # beyond (small-batch large-n regime; bounds the XLA graph at ~31
+    # recursion nodes regardless of n).
+    leaf = 2 if npad <= 512 else npad // 16
     if npad != n:
         B = M.shape[0]
         Mp = jnp.broadcast_to(
@@ -122,7 +144,7 @@ def spd_inverse(M, newton_schulz: int = 1):
         ).at[:, :n, :n].set(Ms)
     else:
         Mp = Ms
-    _, T = _chol_inv(Mp)
+    _, T = _chol_inv(Mp, leaf)
     X = jnp.einsum(
         "bkn,bkm->bnm", T, T, preferred_element_type=M.dtype,
         precision="highest",

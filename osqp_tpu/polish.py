@@ -18,6 +18,21 @@ and its zero column leaves x untouched.
 Iterative refinement (polish.c:134-181) targets the *unregularized*
 masked KKT ``[P, (MA)'; MA, 0]``; for inactive rows the residual is
 identically zero, so refinement is also exact w.r.t. the reduced system.
+
+Two factorizations behind one solve interface, chosen by (static) KKT
+dimension:
+
+* small/medium: batched LU of K_delta (the quasi-definite form the
+  reference LDL's);
+* large (n + m > ``_SCHUR_KKT_DIM``): block elimination to the SPD
+  Schur complement ``S = P + d I + (1/d)(MA)'(MA)`` solved with the
+  GEMM-only blocked Cholesky (:mod:`osqp_tpu.ops.spd_inverse`) — the
+  TPU's batched-LU custom call both serializes and exceeds scoped VMEM
+  at KKT dims in the thousands.  The augmented term makes S stiff at
+  the reference delta (1e-6), so this path regularizes at
+  ``d = max(delta, 1e-4)`` in f32 and lets the refinement loop (which
+  targets the UNregularized KKT either way) recover the accuracy; the
+  acceptance test remains the final guard.
 """
 
 from __future__ import annotations
@@ -29,8 +44,48 @@ import jax.numpy as jnp
 
 from .linalg import mat_tvec, mat_vec
 from .linsys import kkt_lu
+from .ops.spd_inverse import spd_inverse
 from .termination import compute_products, residual_norms
 from .types import DynSettings, QPData, ScalingData, StaticConfig
+
+# Above this KKT dimension the batched LU is replaced by the SPD Schur
+# path (observed: LuDecompositionBlock VMEM-OOMs ~7k on v5e and
+# serializes long before that).
+_SCHUR_KKT_DIM = 2048
+
+
+def _make_kkt_solver(n: int, m: int, P, MA, delta, dtype):
+    """Returns solve(rhs (B, n+m)) -> (B, n+m) applying K_delta^-1."""
+    if n + m <= _SCHUR_KKT_DIM:
+        delta_vec = jnp.full(MA.shape[:-1], delta, dtype)
+        factor = kkt_lu._lu_factor(kkt_lu.form_kkt(P, MA, delta, delta_vec))
+        return lambda rhs: kkt_lu.solve_raw(factor, rhs)
+
+    # Schur path: K_delta block-eliminates to
+    #   S sx = r_x + (1/d) (MA)' r_z,   snu = ((MA) sx - r_z) / d
+    # with S = P + d I + (1/d)(MA)'(MA) SPD.  Inactive rows still give
+    # nu_i = -r_z_i / d = 0 exactly (their r_z is 0 by construction).
+    d_eff = delta if dtype == jnp.float64 else jnp.maximum(
+        jnp.asarray(delta, dtype), jnp.asarray(1e-4, dtype)
+    )
+    AtA = jnp.einsum(
+        "bmi,bmj->bij", MA, MA, preferred_element_type=dtype,
+        precision="highest",
+    )
+    S = P + AtA / d_eff + d_eff * jnp.eye(n, dtype=dtype)
+    X = spd_inverse(S)
+
+    def solve(rhs):
+        r_x, r_z = rhs[..., :n], rhs[..., n:]
+        t = r_x + mat_tvec(MA, r_z) / d_eff
+        sx = jnp.einsum(
+            "bij,bj->bi", X, t, preferred_element_type=dtype,
+            precision="highest",
+        )
+        snu = (mat_vec(MA, sx) - r_z) / d_eff
+        return jnp.concatenate([sx, snu], axis=-1)
+
+    return solve
 
 
 class PolishResult(NamedTuple):
@@ -69,24 +124,22 @@ def polish(
 
     MA = mask[:, :, None] * data.A
 
-    # K_delta = [P + delta I, (MA)'; MA, -delta I] — reuse the kkt_lu
-    # backend with param1 = param2 = delta (qdldl_interface.c:261-267).
-    delta_vec = jnp.full((B, m), dyn.delta, dtype)
-    K = kkt_lu.form_kkt(data.P, MA, dyn.delta, delta_vec)
-    factor = kkt_lu._lu_factor(K)
+    # K_delta = [P + delta I, (MA)'; MA, -delta I] with param1 = param2
+    # = delta (qdldl_interface.c:261-267); LU or Schur by KKT dim.
+    solve_kkt = _make_kkt_solver(n, m, data.P, MA, dyn.delta, dtype)
 
     # rhs_red = [-q; l_low, u_upp] masked into fixed shape (polish.c:105-121)
     rhs_z = mask * jnp.where(lower, data.l, jnp.where(upper, data.u, 0.0))
     rhs = jnp.concatenate([-data.q, rhs_z], axis=-1)
 
-    sol = kkt_lu.solve_raw(factor, rhs)
+    sol = solve_kkt(rhs)
 
     # Iterative refinement against the unregularized KKT (polish.c:134-181)
     def refine(_, sol):
         sx, snu = sol[..., :n], sol[..., n:]
         r_x = -data.q - (mat_vec(data.P, sx) + mat_tvec(MA, snu))
         r_z = rhs_z - mat_vec(MA, sx)
-        d = kkt_lu.solve_raw(factor, jnp.concatenate([r_x, r_z], axis=-1))
+        d = solve_kkt(jnp.concatenate([r_x, r_z], axis=-1))
         return sol + d
 
     sol = jax.lax.fori_loop(0, refine_iter, refine, sol)
