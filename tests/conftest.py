@@ -39,6 +39,37 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+# jax's file cache writes entries NON-atomically (lru_cache.py put():
+# plain write_bytes) — a run killed mid-write (timeout/Ctrl-C) leaves a
+# truncated executable that SEGFAULTS the deserializer on the next run's
+# cache *read*.  Patch put() to write-to-temp + os.replace (atomic on
+# the same filesystem): a killed write leaves only an ignored temp file.
+import tempfile
+
+from jax._src import lru_cache as _lru
+
+
+def _atomic_put(self, key, val):
+    if not key:
+        raise ValueError("key cannot be empty")
+    cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+    if cache_path.exists():
+        return
+    fd, tmp = tempfile.mkstemp(dir=str(self.path), prefix=".inflight-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(val)
+        os.replace(tmp, str(cache_path))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+_lru.LRUCache.put = _atomic_put
+
 # Sanitizer mode (the reference CI's valgrind-memcheck analogue, SURVEY
 # §5): JAX_SANITIZE=1 runs tests with jax_debug_nans — any NaN appearing
 # in a jitted computation's output aborts with a located traceback.
