@@ -36,7 +36,7 @@ from .constants import (
     OSQPError,
 )
 from .diff import make_qp_layer
-from .large import solve_sparse
+from .large import SparseSolver, solve_sparse
 from .parametric import BatchedSolver
 from .solver import OSQP, Info, Results, Settings, Solver
 from .types import DynSettings, QPData, ScalingData, StaticConfig
@@ -46,6 +46,7 @@ __all__ = [
     "Solver",
     "BatchedSolver",
     "solve_sparse",
+    "SparseSolver",
     "make_qp_layer",
     "Settings",
     "Info",

@@ -37,10 +37,29 @@ from .constants import (
 
 
 def _next_bucket(v: int, minimum: int = 8) -> int:
+    """Powers of two up to 1024, then multiples of 512: doubling a
+    n=4224 problem to 8192 wastes ~2x memory and ~4-8x factor FLOPs at
+    sizes where both actually matter; fine steps cost only an extra
+    compile for shapes that are rare to begin with."""
     b = minimum
-    while b < v:
+    while b < v and b < 1024:
         b *= 2
-    return b
+    if b >= v:
+        return b
+    return -(-v // 512) * 512
+
+
+# Per-instance dense device footprint (bytes) for a padded (N, M) QP in
+# f32: P + Minv (N^2 each), A + AMinvT + scaled copies (~4 N M), plus
+# transient factor/polish temps of the same order.  Used to cap the
+# per-dispatch batch so one bucket's solve stays within HBM (v5e: 16G;
+# observed OOM at B=2 for N=M=8192).
+_HBM_BUDGET = float(4e9)
+
+
+def _max_chunk(N: int, M: int, dtype_bytes: int = 4) -> int:
+    per = (3 * N * N + 5 * N * M) * dtype_bytes
+    return max(1, int(_HBM_BUDGET / max(per, 1)))
 
 
 @dataclass
@@ -110,44 +129,55 @@ def solve_problems(
         buckets[key].append(item)
 
     results: list[ProblemResult | None] = [None] * len(prepared)
-    for (N, M), items in buckets.items():
-        Ps, qs, As, ls, us = [], [], [], [], []
-        for _, _, Pd, q, Ad, l, u in items:
-            Pp, qp_, Ap, lp, up = pad_problem(Pd, q, Ad, l, u, N, M)
-            Ps.append(Pp)
-            qs.append(qp_)
-            As.append(Ap)
-            ls.append(lp)
-            us.append(up)
-        res = solve_batch(
-            np.stack(Ps), np.stack(qs), np.stack(As), np.stack(ls), np.stack(us),
-            **settings,
-        )
-        x = np.asarray(res.x)
-        y = np.asarray(res.y)
-        sv = np.asarray(res.status_val)
-        it = np.asarray(res.iter)
-        obj = np.asarray(res.obj_val)
-        pri = np.asarray(res.pri_res)
-        dua = np.asarray(res.dua_res)
-        pic = np.asarray(res.prim_inf_cert)
-        dic = np.asarray(res.dual_inf_cert)
-        _PINF = (OSQP_PRIMAL_INFEASIBLE, OSQP_PRIMAL_INFEASIBLE_INACCURATE)
-        _DINF = (OSQP_DUAL_INFEASIBLE, OSQP_DUAL_INFEASIBLE_INACCURATE)
-        for b, (idx, name, Pd, q, Ad, l, u) in enumerate(items):
-            n, m = q.shape[0], l.shape[0]
-            results[idx] = ProblemResult(
-                name=name,
-                status_val=int(sv[b]),
-                iter=int(it[b]),
-                obj_val=float(obj[b]),
-                pri_res=float(pri[b]),
-                dua_res=float(dua[b]),
-                x=x[b, :n],
-                y=y[b, :m],
-                n=n,
-                m=m,
-                prim_inf_cert=pic[b, :m] if int(sv[b]) in _PINF else None,
-                dual_inf_cert=dic[b, :n] if int(sv[b]) in _DINF else None,
-            )
+    for (N, M), all_items in buckets.items():
+        chunk = _max_chunk(N, M)
+        chunks = [
+            all_items[i : i + chunk] for i in range(0, len(all_items), chunk)
+        ]
+        for items in chunks:
+            _solve_bucket(N, M, items, results, settings)
     return results  # type: ignore[return-value]
+
+
+def _solve_bucket(N, M, items, results, settings):
+    """One batched device solve of a (memory-capped) bucket chunk;
+    scatters ProblemResults into ``results`` at the items' indices."""
+    Ps, qs, As, ls, us = [], [], [], [], []
+    for _, _, Pd, q, Ad, l, u in items:
+        Pp, qp_, Ap, lp, up = pad_problem(Pd, q, Ad, l, u, N, M)
+        Ps.append(Pp)
+        qs.append(qp_)
+        As.append(Ap)
+        ls.append(lp)
+        us.append(up)
+    res = solve_batch(
+        np.stack(Ps), np.stack(qs), np.stack(As), np.stack(ls), np.stack(us),
+        **settings,
+    )
+    x = np.asarray(res.x)
+    y = np.asarray(res.y)
+    sv = np.asarray(res.status_val)
+    it = np.asarray(res.iter)
+    obj = np.asarray(res.obj_val)
+    pri = np.asarray(res.pri_res)
+    dua = np.asarray(res.dua_res)
+    pic = np.asarray(res.prim_inf_cert)
+    dic = np.asarray(res.dual_inf_cert)
+    _PINF = (OSQP_PRIMAL_INFEASIBLE, OSQP_PRIMAL_INFEASIBLE_INACCURATE)
+    _DINF = (OSQP_DUAL_INFEASIBLE, OSQP_DUAL_INFEASIBLE_INACCURATE)
+    for b, (idx, name, Pd, q, Ad, l, u) in enumerate(items):
+        n, m = q.shape[0], l.shape[0]
+        results[idx] = ProblemResult(
+            name=name,
+            status_val=int(sv[b]),
+            iter=int(it[b]),
+            obj_val=float(obj[b]),
+            pri_res=float(pri[b]),
+            dua_res=float(dua[b]),
+            x=x[b, :n],
+            y=y[b, :m],
+            n=n,
+            m=m,
+            prim_inf_cert=pic[b, :m] if int(sv[b]) in _PINF else None,
+            dual_inf_cert=dic[b, :n] if int(sv[b]) in _DINF else None,
+        )

@@ -22,13 +22,16 @@ Restrictions vs the dense path (documented, enforced):
 
 from __future__ import annotations
 
+import dataclasses
+import time
+
 import numpy as np
 import scipy.sparse as sp
 
 from . import constants as con
 from .batch import BatchSolveResults, _solve_segmented, make_config
 from .sparse_ops import ell_from_scipy
-from .solver import Settings, validate_settings
+from .solver import Info, Results, Settings, update_csc_values, validate_settings
 from .types import DynSettings
 
 
@@ -116,3 +119,183 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
         rho0, dyn, x0, y0,
         time_limit=float(s.time_limit),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful Solver-style API over the sparse path
+# ---------------------------------------------------------------------------
+class SparseSolver:
+    """Solver-compatible stateful API for large sparse QPs.
+
+    The familiar lifecycle (osqp.c:76-283 setup, update_* entry points,
+    warm starting across re-solves) over :func:`solve_sparse`.  There is
+    no cached factorization to preserve — the cg backend's only
+    per-solve state is the Jacobi diagonal, rebuilt from the (possibly
+    updated) values each solve — so updates are host-side O(nnz) value
+    edits on the stored CSC pattern with the reference's indexed-update
+    semantics (osqp.c:1012-1279), and each ``solve()`` re-enters the
+    jitted path (one compile per shape; re-solves reuse it).
+
+    Same restrictions as :func:`solve_sparse`: cg backend, no polish.
+    """
+
+    def __init__(self, P=None, q=None, A=None, l=None, u=None, **settings):
+        self._is_setup = False
+        if P is not None or q is not None:
+            self.setup(P=P, q=q, A=A, l=l, u=u, **settings)
+
+    def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
+        from .sparse import validate_problem
+
+        t0 = time.perf_counter()
+        settings.setdefault("linsys_solver", "cg")
+        unknown = set(settings) - {f.name for f in dataclasses.fields(Settings)}
+        if unknown:
+            raise con.OSQPError(
+                con.ErrorCode.SETTINGS_VALIDATION_ERROR,
+                f"unknown settings: {sorted(unknown)}",
+            )
+        self.settings = Settings(**settings)
+        validate_settings(self.settings)
+        if self.settings.linsys_solver != "cg":
+            raise con.OSQPError(
+                con.ErrorCode.SETTINGS_VALIDATION_ERROR,
+                "SparseSolver supports only the matrix-free 'cg' backend",
+            )
+        if self.settings.polish:
+            raise con.OSQPError(
+                con.ErrorCode.SETTINGS_VALIDATION_ERROR,
+                "polish is not supported on the sparse path",
+            )
+        # Canonical host data; triu-CSC P / CSC A keep the patterns the
+        # reference's indexed updates address (osqp.c:1031-1062).
+        Pu, qv, Ac, lv, uv, n, m = validate_problem(P, q, A, l, u)
+        self._Pu, self._Ac = Pu, Ac
+        self._q, self._l, self._u = qv, lv, uv
+        self.n, self.m = n, m
+        self._x0 = self._y0 = None
+        self.info = Info(rho_estimate=float(self.settings.rho))
+        self.info.setup_time = time.perf_counter() - t0
+        self._is_setup = True
+        return self
+
+    def _require_setup(self):
+        if not self._is_setup:
+            raise con.OSQPError(
+                con.ErrorCode.WORKSPACE_NOT_INIT_ERROR,
+                "Workspace not initialized",
+            )
+
+    # -- lifecycle ---------------------------------------------------------
+    def solve(self) -> Results:
+        self._require_setup()
+        t0 = time.perf_counter()
+        kw = {
+            f.name: getattr(self.settings, f.name)
+            for f in dataclasses.fields(Settings)
+        }
+        x0 = y0 = None
+        if self.settings.warm_start and self._x0 is not None:
+            x0, y0 = self._x0, self._y0
+        res = solve_sparse(
+            self._Pu, self._q, self._Ac, self._l, self._u, x0=x0, y0=y0, **kw
+        )
+        sv = int(np.asarray(res.status_val)[0])
+        self.info.status_val = sv
+        self.info.status = con.STATUS_MESSAGE.get(sv, "?")
+        self.info.iter = int(np.asarray(res.iter)[0])
+        self.info.obj_val = float(np.asarray(res.obj_val)[0])
+        self.info.pri_res = float(np.asarray(res.pri_res)[0])
+        self.info.dua_res = float(np.asarray(res.dua_res)[0])
+        self.info.rho_updates = int(np.asarray(res.rho_updates)[0])
+        self.info.rho_estimate = float(np.asarray(res.rho_estimate)[0])
+        self.info.solve_time = time.perf_counter() - t0
+        self.info.run_time = self.info.setup_time + self.info.update_time + self.info.solve_time
+        x = np.asarray(res.x)[0]
+        y = np.asarray(res.y)[0]
+        if self.settings.warm_start and sv in (
+            con.OSQP_SOLVED,
+            con.OSQP_SOLVED_INACCURATE,
+            con.OSQP_MAX_ITER_REACHED,
+        ):
+            self._x0, self._y0 = x.copy(), y.copy()
+        pinf = sv in (con.OSQP_PRIMAL_INFEASIBLE,
+                      con.OSQP_PRIMAL_INFEASIBLE_INACCURATE)
+        dinf = sv in (con.OSQP_DUAL_INFEASIBLE,
+                      con.OSQP_DUAL_INFEASIBLE_INACCURATE)
+        return Results(
+            x=x if not (pinf or dinf) else np.full(self.n, np.nan),
+            y=y if not (pinf or dinf) else np.full(self.m, np.nan),
+            prim_inf_cert=np.asarray(res.prim_inf_cert)[0] if pinf else None,
+            dual_inf_cert=np.asarray(res.dual_inf_cert)[0] if dinf else None,
+            info=self.info,
+        )
+
+    def warm_start(self, x=None, y=None):
+        """osqp_warm_start (osqp.c:1399-1441)."""
+        self._require_setup()
+        if x is not None:
+            self._x0 = np.asarray(x, np.float64).reshape(self.n)
+        if y is not None:
+            self._y0 = np.asarray(y, np.float64).reshape(self.m)
+        if self._x0 is not None and self._y0 is None:
+            self._y0 = np.zeros(self.m)
+
+    # -- data updates (host O(nnz); next solve picks them up) --------------
+    def _tick_update(self, t0):
+        self.info.update_time += time.perf_counter() - t0
+
+    def update_lin_cost(self, q_new):
+        self._require_setup()
+        t0 = time.perf_counter()
+        self._q = np.asarray(q_new, np.float64).reshape(self.n)
+        self._tick_update(t0)
+
+    def update_bounds(self, l=None, u=None):
+        from .sparse import clamp_bounds
+
+        self._require_setup()
+        t0 = time.perf_counter()
+        l_new = clamp_bounds(l).reshape(self.m) if l is not None else self._l
+        u_new = clamp_bounds(u).reshape(self.m) if u is not None else self._u
+        if np.any(l_new > u_new):
+            raise con.OSQPError(
+                con.ErrorCode.DATA_VALIDATION_ERROR,
+                "lower bound must be lower than or equal to upper bound",
+            )
+        self._l, self._u = l_new, u_new
+        self._tick_update(t0)
+
+    def update_lower_bound(self, l_new):
+        self.update_bounds(l=l_new)
+
+    def update_upper_bound(self, u_new):
+        self.update_bounds(u=u_new)
+
+    def update_P(self, Px=None, Px_idx=None, **_):
+        """osqp_update_P (osqp.c:1012-1090): values on the triu pattern."""
+        self._require_setup()
+        t0 = time.perf_counter()
+        update_csc_values(self._Pu, Px, Px_idx, "P")
+        self._tick_update(t0)
+
+    def update_A(self, Ax=None, Ax_idx=None, **_):
+        """osqp_update_A (osqp.c:1092-1169)."""
+        self._require_setup()
+        t0 = time.perf_counter()
+        update_csc_values(self._Ac, Ax, Ax_idx, "A")
+        self._tick_update(t0)
+
+    def update_P_A(self, Px=None, Px_idx=None, Ax=None, Ax_idx=None):
+        if Px is not None:
+            self.update_P(Px, Px_idx)
+        if Ax is not None:
+            self.update_A(Ax, Ax_idx)
+
+    def update_rho(self, rho_new):
+        self._require_setup()
+        if not rho_new > 0:
+            raise con.OSQPError(
+                con.ErrorCode.SETTINGS_VALIDATION_ERROR, "rho must be positive"
+            )
+        self.settings = dataclasses.replace(self.settings, rho=float(rho_new))

@@ -180,6 +180,33 @@ class Results:
     info: Info
 
 
+def update_csc_values(M, x_new, x_idx, name):
+    """Indexed nnz-value update on a scipy CSC matrix, with the
+    reference's validation (osqp.c:1031-1062).  Shared by the dense
+    Solver and the sparse-path SparseSolver (large.py)."""
+    x_new = np.asarray(x_new, np.float64).ravel()
+    if x_idx is None:
+        if x_new.shape[0] != M.nnz:
+            raise OSQPError(
+                ErrorCode.DATA_VALIDATION_ERROR,
+                f"new {name} has wrong number of nonzeros "
+                f"({x_new.shape[0]} != {M.nnz})",
+            )
+        M.data[:] = x_new
+    else:
+        x_idx = np.asarray(x_idx, np.int64).ravel()
+        if x_idx.shape[0] != x_new.shape[0]:
+            raise OSQPError(
+                ErrorCode.DATA_VALIDATION_ERROR, "index/value length mismatch"
+            )
+        if x_idx.size and (x_idx.max() >= M.nnz or x_idx.min() < 0):
+            raise OSQPError(
+                ErrorCode.DATA_VALIDATION_ERROR,
+                f"index exceeds {name} nonzeros",
+            )
+        M.data[x_idx] = x_new
+
+
 # ---------------------------------------------------------------------------
 # Jitted device-side stages (shared with the batched API)
 # ---------------------------------------------------------------------------
@@ -669,28 +696,7 @@ class Solver:
         self.update_bounds(u=u_new)
 
     def _update_csc_values(self, M, x_new, x_idx, name):
-        """Indexed nnz-value update (osqp.c:1031-1062)."""
-        x_new = np.asarray(x_new, np.float64).ravel()
-        if x_idx is None:
-            if x_new.shape[0] != M.nnz:
-                raise OSQPError(
-                    ErrorCode.DATA_VALIDATION_ERROR,
-                    f"new {name} has wrong number of nonzeros "
-                    f"({x_new.shape[0]} != {M.nnz})",
-                )
-            M.data[:] = x_new
-        else:
-            x_idx = np.asarray(x_idx, np.int64).ravel()
-            if x_idx.shape[0] != x_new.shape[0]:
-                raise OSQPError(
-                    ErrorCode.DATA_VALIDATION_ERROR, "index/value length mismatch"
-                )
-            if x_idx.size and (x_idx.max() >= M.nnz or x_idx.min() < 0):
-                raise OSQPError(
-                    ErrorCode.DATA_VALIDATION_ERROR,
-                    f"index exceeds {name} nonzeros",
-                )
-            M.data[x_idx] = x_new
+        update_csc_values(M, x_new, x_idx, name)
 
     def update_P(self, Px=None, Px_idx=None, **_):
         """osqp_update_P (osqp.c:1012-1090): new values on the triu(P)

@@ -93,6 +93,24 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+# Loaded-executable pressure: every distinct StaticConfig is a separate
+# compiled+loaded executable and XLA:CPU's JIT eventually segfaults when
+# hundreds stay loaded in one process (observed ~140 tests in, both in
+# fresh compiles and in cache-deserialize).  Dropping jax's in-memory
+# caches periodically lets dead executables unload; the on-disk compile
+# cache makes the subsequent reloads cheap.
+_CLEAR_EVERY = 40
+_test_count = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_executable_unload():
+    yield
+    _test_count["n"] += 1
+    if _test_count["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
+
+
 TESTS_TOL = 1e-4  # tests/osqp_tester.h:9
 
 

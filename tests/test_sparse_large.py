@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import scipy.sparse as sp
 
+import osqp_tpu
 from osqp_tpu import constants as con
 from osqp_tpu.large import solve_sparse
 from osqp_tpu.verify import kkt_check, primal_infeasibility_check
@@ -146,3 +147,77 @@ def test_sparse_large_n():
     assert int(res.status_val[0]) == con.OSQP_SOLVED
     chk = kkt_check(P, q, A, l, u, res.x[0], res.y[0])
     assert chk["ok"], chk
+
+
+class TestSparseSolver:
+    """Stateful Solver-style API over the sparse path (large.SparseSolver)."""
+
+    def _problem(self, n=80, seed=0):
+        rng = np.random.default_rng(seed)
+        P = sp.diags(np.abs(rng.standard_normal(n)) + 1.0).tocsc()
+        A = sp.vstack(
+            [sp.eye(n), sp.diags([1.0] * (n - 1), 1).tocsr()[: n - 1]]
+        ).tocsc()
+        q = rng.standard_normal(n)
+        m = A.shape[0]
+        return P, q, A, -np.ones(m), np.ones(m)
+
+    def test_solve_matches_solve_sparse(self):
+        P, q, A, l, u = self._problem()
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
+        r = s.solve()
+        assert r.info.status == "solved"
+        ref = osqp_tpu.solve_sparse(P, q, A, l, u, verbose=False)
+        np.testing.assert_allclose(r.x, np.asarray(ref.x)[0], atol=1e-12)
+        assert r.info.iter == int(np.asarray(ref.iter)[0])
+
+    def test_warm_start_resolve_one_interval(self):
+        # Re-solving at the optimum terminates at the first check
+        # (test_basic_qp.h:893 behaviour).
+        P, q, A, l, u = self._problem()
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                                  check_termination=1)
+        r1 = s.solve()
+        r2 = s.solve()
+        assert r2.info.iter == 1
+        # one extra iteration from a just-converged point moves x within
+        # the eps=1e-3 tolerance band
+        np.testing.assert_allclose(r2.x, r1.x, atol=5e-3)
+
+    def test_updates(self):
+        P, q, A, l, u = self._problem()
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
+        s.solve()
+        # q update changes the solution
+        s.update_lin_cost(-q)
+        r = s.solve()
+        assert r.info.status == "solved"
+        # P value update via indexed semantics
+        s.update_P(Px=s._Pu.data * 2.0)
+        r2 = s.solve()
+        assert r2.info.status == "solved"
+        # bounds validation
+        with pytest.raises(osqp_tpu.OSQPError):
+            s.update_bounds(l=np.ones(s.m), u=-np.ones(s.m))
+        # equivalence with a fresh solve on the updated data
+        fresh = osqp_tpu.solve_sparse(
+            sp.csc_matrix(sp.triu(s._Pu)), -q, A, l, u, verbose=False
+        )
+        np.testing.assert_allclose(
+            r2.x, np.asarray(fresh.x)[0], atol=1e-4
+        )
+
+    def test_update_A_then_solve(self):
+        P, q, A, l, u = self._problem()
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
+        s.solve()
+        s.update_A(Ax=s._Ac.data * 0.5)
+        r = s.solve()
+        assert r.info.status == "solved"
+        A2 = A * 0.5
+        assert np.all(A2 @ r.x <= u + 1e-3)
+
+    def test_not_setup_errors(self):
+        s = osqp_tpu.SparseSolver()
+        with pytest.raises(osqp_tpu.OSQPError):
+            s.solve()
