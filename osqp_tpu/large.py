@@ -299,3 +299,45 @@ class SparseSolver:
                 con.ErrorCode.SETTINGS_VALIDATION_ERROR, "rho must be positive"
             )
         self.settings = dataclasses.replace(self.settings, rho=float(rho_new))
+
+    # -- settings setters (reference osqp_update_* surface) ----------------
+    def _set(self, **kw):
+        self._require_setup()
+        candidate = dataclasses.replace(self.settings, **kw)
+        validate_settings(candidate)  # reject BEFORE mutating state
+        self.settings = candidate
+
+    def update_max_iter(self, v):
+        self._set(max_iter=int(v))
+
+    def update_eps_abs(self, v):
+        self._set(eps_abs=float(v))
+
+    def update_eps_rel(self, v):
+        self._set(eps_rel=float(v))
+
+    def update_eps_prim_inf(self, v):
+        self._set(eps_prim_inf=float(v))
+
+    def update_eps_dual_inf(self, v):
+        self._set(eps_dual_inf=float(v))
+
+    def update_alpha(self, v):
+        self._set(alpha=float(v))
+
+    def update_verbose(self, v):
+        self._set(verbose=bool(v))
+
+    def update_scaled_termination(self, v):
+        self._set(scaled_termination=bool(v))
+
+    def update_check_termination(self, v):
+        self._set(check_termination=int(v))
+
+    def update_warm_start(self, v):
+        self._set(warm_start=bool(v))
+        if not v:
+            self._x0 = self._y0 = None
+
+    def update_time_limit(self, v):
+        self._set(time_limit=float(v))

@@ -221,3 +221,16 @@ class TestSparseSolver:
         s = osqp_tpu.SparseSolver()
         with pytest.raises(osqp_tpu.OSQPError):
             s.solve()
+
+    def test_settings_setters(self):
+        P, q, A, l, u = self._problem(n=20)
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
+        s.update_eps_abs(1e-4)
+        s.update_eps_rel(1e-4)
+        s.update_max_iter(900)
+        assert s.settings.eps_abs == 1e-4 and s.settings.max_iter == 900
+        with pytest.raises(osqp_tpu.OSQPError):
+            s.update_eps_abs(-1.0)
+        with pytest.raises(osqp_tpu.OSQPError):
+            s.update_rho(0.0)
+        assert s.solve().info.status == "solved"
