@@ -3,6 +3,7 @@ batched path (compaction only changes which instances share a program,
 never the math)."""
 
 import numpy as np
+import pytest
 
 from osqp_tpu import constants as con
 from osqp_tpu.batch import solve_batch
@@ -35,6 +36,7 @@ def test_compact_equals_plain():
     assert iters.max() > iters.min()
 
 
+@pytest.mark.nanok
 def test_compact_with_infeasible_instances():
     B, n, m = 16, 6, 8
     P, q, A, l, u = random_qps(B, n, m, seed=13)

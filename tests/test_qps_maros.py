@@ -169,6 +169,7 @@ class TestBuckets:
             np.testing.assert_allclose(r.x, ri.x, atol=1e-6)
             assert abs(r.obj_val - ri.info.obj_val) < 1e-6
 
+    @pytest.mark.nanok
     def test_infeasible_in_bucket(self):
         P = np.eye(2)
         q = np.zeros(2)

@@ -33,9 +33,21 @@ def main():
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--m", type=int, default=200)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the virtual 8-device CPU mesh "
+                         "(shape/sharding validation)")
     args = ap.parse_args()
 
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from osqp_tpu.parallel import make_mesh, solve_batch_sharded
@@ -45,7 +57,11 @@ def main():
 
     devs = jax.devices()
     is_cpu = devs[0].platform == "cpu"
-    sizes = sorted({1, 2, len(devs) // 2, len(devs)} - {0})
+    # only mesh sizes that actually exist (a 1-chip dev tunnel measures
+    # nothing beyond nd=1)
+    sizes = sorted(
+        nd for nd in {1, 2, len(devs) // 2, len(devs)} if 1 <= nd <= len(devs)
+    )
     rows = []
     base_qps = None
     for nd in sizes:
