@@ -208,6 +208,7 @@ def run_suite(problems, eps=1e-3, polish=True, max_iter=4000, dtype=None,
     t0 = time.perf_counter()
     results = solve_problems(
         [(name, P, q, A, l, u) for (name, fam, P, q, A, l, u) in problems],
+        progress=verbose,
         **settings,
     )
     solve_time = time.perf_counter() - t0

@@ -96,6 +96,7 @@ def pad_problem(P, q, A, l, u, N: int, M: int):
 
 def solve_problems(
     problems: Sequence[tuple[str, Any, Any, Any, Any, Any]],
+    progress: bool = False,
     **settings,
 ) -> list[ProblemResult]:
     """Solve a list of (name, P, q, A, l, u) QPs of arbitrary shapes.
@@ -103,6 +104,8 @@ def solve_problems(
     P may be scipy sparse upper-triangular or dense symmetric; A scipy
     sparse or dense.  Problems are grouped into shape buckets; each
     bucket is one batched device solve.  Returns results in input order.
+    ``progress`` prints one stderr line per bucket dispatch (long runs
+    compile one program per bucket — otherwise silent for minutes).
     """
     import scipy.sparse as sp
 
@@ -134,8 +137,26 @@ def solve_problems(
         chunks = [
             all_items[i : i + chunk] for i in range(0, len(all_items), chunk)
         ]
-        for items in chunks:
+        for ci, items in enumerate(chunks):
+            if progress:
+                import sys
+                import time as _time
+
+                print(
+                    f"[buckets] ({N}, {M}) chunk {ci + 1}/{len(chunks)} "
+                    f"B={len(items)} ...",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                t0 = _time.perf_counter()
             _solve_bucket(N, M, items, results, settings)
+            if progress:
+                print(
+                    f"[buckets] ({N}, {M}) chunk {ci + 1}/{len(chunks)} "
+                    f"done in {_time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
     return results  # type: ignore[return-value]
 
 
