@@ -33,3 +33,14 @@ print(
     f"independent f64 KKT check: ok={chk['ok']} "
     f"pri={chk['pri_res']:.2e} dua={chk['dua_res']:.2e}"
 )
+
+# Stateful lifecycle over the same path: warm-started parametric
+# re-solves with the reference's update semantics.
+from osqp_tpu import SparseSolver
+
+s = SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
+r1 = s.solve()
+s.update_lin_cost(0.5 * q)  # new cost, warm-started from r1
+r2 = s.solve()
+print(f"re-solve: status={r2.info.status} iters={r2.info.iter} "
+      f"(first solve: {r1.info.iter})")
