@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 from . import constants as con
-from .buckets import solve_problems
+from .buckets import fallback_context, solve_problems
 from .models import (
     build_huber,
     build_lasso,
@@ -213,19 +213,24 @@ def run_suite(problems, eps=1e-3, polish=True, max_iter=4000, dtype=None,
     )
     solve_time = time.perf_counter() - t0
 
-    # Batched re-solve of numerically-failed instances in the fallback
-    # dtype (re-bucketed; wall-clock scales with buckets, not failures).
-    final = _SOLVED + _PINF + _DINF
+    # Batched re-solve of failed instances in the fallback dtype
+    # (re-bucketed; wall-clock scales with buckets, not failures).
+    # "Failed" = anything short of a STRICT status: inaccurate variants
+    # and max_iter count as misses against the eps criterion.
+    strict = (con.OSQP_SOLVED, con.OSQP_PRIMAL_INFEASIBLE,
+              con.OSQP_DUAL_INFEASIBLE)
     if fallback_dtype is not None:
         retry_idx = [i for i, r in enumerate(results)
-                     if r.status_val not in final]
+                     if r.status_val not in strict]
         if retry_idx:
             fb = dict(settings)
             fb["dtype"] = fallback_dtype
-            fb_res = solve_problems(
-                [(problems[i][0],) + tuple(problems[i][2:]) for i in retry_idx],
-                **fb,
-            )
+            with fallback_context(fallback_dtype):
+                fb_res = solve_problems(
+                    [(problems[i][0],) + tuple(problems[i][2:])
+                     for i in retry_idx],
+                    **fb,
+                )
             for i, r in zip(retry_idx, fb_res):
                 results[i] = r
 

@@ -36,6 +36,32 @@ from .constants import (
 )
 
 
+def fallback_context(dtype_str):
+    """Context for re-solving failed instances in a wider dtype: enables
+    x64 when the process runs f32, and routes compute to the CPU backend
+    when the default backend cannot do f64 (TPU).  The reference's f64
+    is unconditional; here f32-on-TPU is the fast path and this is the
+    accuracy escape hatch.  No-op for non-64-bit fallbacks or when
+    already on an x64-capable default backend."""
+    from contextlib import ExitStack
+
+    import jax
+
+    st = ExitStack()
+    if dtype_str is None or "64" not in str(dtype_str):
+        return st
+    if not jax.config.jax_enable_x64:
+        st.enter_context(jax.enable_x64(True))
+    if jax.default_backend() != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None  # cpu platform not exposed; stay on default
+        if cpu is not None:
+            st.enter_context(jax.default_device(cpu))
+    return st
+
+
 def _next_bucket(v: int, minimum: int = 8) -> int:
     """Powers of two up to 1024, then multiples of 512: doubling a
     n=4224 problem to 8192 wastes ~2x memory and ~4-8x factor FLOPs at

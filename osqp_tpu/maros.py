@@ -131,9 +131,11 @@ def run_maros(
     # f64 (or other) fallback for problems that failed *numerically*.
     # Infeasibility verdicts carry certificates and are final — retrying
     # them would relabel a legitimate detection as a precision issue.
+    # Retry anything short of a STRICT status — the inaccurate variants
+    # miss the eps criterion by definition, so the f64 fallback should
+    # take a crack at them too.
     _final_statuses = (
         con.OSQP_SOLVED,
-        con.OSQP_SOLVED_INACCURATE,
         con.OSQP_PRIMAL_INFEASIBLE,
         con.OSQP_DUAL_INFEASIBLE,
     )
@@ -150,10 +152,14 @@ def run_maros(
             if r["status_val"] not in _final_statuses
         ]
         if retry:
-            fb_results = solve_problems(
-                [(qp.name, qp.P, qp.q, qp.A, qp.l, qp.u) for _, qp in retry],
-                **fb_settings,
-            )
+            from .buckets import fallback_context
+
+            with fallback_context(fallback_dtype):
+                fb_results = solve_problems(
+                    [(qp.name, qp.P, qp.q, qp.A, qp.l, qp.u)
+                     for _, qp in retry],
+                    **fb_settings,
+                )
             for (i, qp), rr in zip(retry, fb_results):
                 rows[i].update(
                     status=con.STATUS_MESSAGE.get(rr.status_val, "?"),

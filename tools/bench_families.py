@@ -27,13 +27,20 @@ def main():
     ap.add_argument("--instances", type=int, default=2)
     ap.add_argument("--eps", type=float, default=1e-3)
     ap.add_argument("--dtype", default=None)
-    ap.add_argument("--fallback", default=None,
+    ap.add_argument("--fallback", default="float64",
                     help="fallback dtype for failed instances (e.g. float64; "
                          "needs x64 support on the backend)")
     ap.add_argument("--skip-qps", action="store_true")
     args = ap.parse_args()
 
+    # Expose the cpu platform alongside the accelerator so the f64
+    # fallback (buckets.fallback_context) has somewhere to run — TPUs
+    # have no f64.
+    plats = os.environ.get("JAX_PLATFORMS", "")
     import jax
+
+    if plats and "cpu" not in plats:
+        jax.config.update("jax_platforms", plats + ",cpu")
 
     from osqp_tpu.benchmarks import generate_suite, run_suite
 
