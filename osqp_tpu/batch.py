@@ -491,6 +491,7 @@ def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
         cg_max_iter=int(settings.cg_max_iter),
         cg_tol_fraction=float(settings.cg_tol_fraction),
         block_size=int(settings.block_size),
+        anderson_memory=int(settings.anderson_memory),
     )
 
 

@@ -83,6 +83,8 @@ class Settings:
     cg_tol_fraction: float = 1e-7
     # Stage-block size for the block_tridiag (MPC/OCP) backend
     block_size: int = 0
+    # Anderson acceleration memory (0 = off; no reference analogue).
+    anderson_memory: int = 0
 
 
 def validate_settings(s: Settings) -> None:
@@ -134,6 +136,8 @@ def validate_settings(s: Settings) -> None:
         raise err("warm_start must be either 0 or 1")
     if s.time_limit < 0:
         raise err("time_limit must be nonnegative")
+    if not (0 <= int(s.anderson_memory) <= 25):
+        raise err("anderson_memory must be in [0, 25]")
 
 
 def _resolve_rho_interval(s: Settings) -> int:
@@ -308,6 +312,7 @@ class Solver:
             cg_max_iter=int(self.settings.cg_max_iter),
             cg_tol_fraction=float(self.settings.cg_tol_fraction),
             block_size=int(self.settings.block_size),
+            anderson_memory=int(self.settings.anderson_memory),
         )
         self._dyn = DynSettings.make(
             dt,

@@ -114,6 +114,10 @@ class StaticConfig:
     cg_tol_fraction: float = 1e-7
     # Stage-block size for the block_tridiag (MPC/OCP) backend.
     block_size: int = 0
+    # Anderson acceleration memory (0 = off, the reference behaviour).
+    # Opt-in: accelerates the ADMM fixed point with a safeguarded
+    # type-II Anderson mix over the last `anderson_memory` steps.
+    anderson_memory: int = 0
 
     @property
     def jdtype(self):
