@@ -477,6 +477,15 @@ def _solve_segmented(
     return _post_c(cfg, do_polish, refine_iter, scaled, scl, dyn, result)
 
 
+def _link_cg_floor(settings) -> float:
+    eps_pos = [e for e in (settings.eps_abs, settings.eps_rel) if e > 0]
+    floor = min(eps_pos) if eps_pos else 1.0
+    ctf = float(settings.cg_tol_fraction)
+    if floor < 1e-5:
+        ctf = min(ctf, max(1e-2 * floor, 1e-12))
+    return ctf
+
+
 def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
     return StaticConfig(
         n=n,
@@ -489,7 +498,11 @@ def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
         linsys_solver=str(settings.linsys_solver),
         dtype=str(jnp.dtype(dtype)),
         cg_max_iter=int(settings.cg_max_iter),
-        cg_tol_fraction=float(settings.cg_tol_fraction),
+        # The inexact-CG floor must sit below the outer tolerance or the
+        # subproblem error caps outer convergence (observed: eps=1e-8
+        # stalls at pri_res ~0.3 with the 1e-7 default floor).  Zero
+        # tolerances are allowed individually; only positive ones bind.
+        cg_tol_fraction=_link_cg_floor(settings),
         block_size=int(settings.block_size),
         anderson_memory=int(settings.anderson_memory),
     )

@@ -26,6 +26,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 
 from . import constants as con
 from .buckets import solve_problems
@@ -44,6 +46,37 @@ def collect_paths(args_paths):
         else:
             paths.append(p)
     return paths
+
+
+# Problems whose n or m exceeds this go through large.solve_sparse
+# (ELL operands, cg) instead of the dense bucketed batch — the dense
+# embedding is wasteful past a few thousand and impossible at 1e4+.
+SPARSE_N_CUTOFF = 4096
+
+
+def _solve_one_sparse(qp, settings):
+    """One large problem through the never-densifying path (polish is
+    unsupported there; the reference also treats polish as optional)."""
+    from .large import solve_sparse
+
+    sp_settings = {k: v for k, v in settings.items() if k != "polish"}
+    t = time.perf_counter()
+    res = solve_sparse(qp.P, qp.q, qp.A, qp.l, qp.u, polish=False,
+                       **sp_settings)
+    sv = int(np.asarray(res.status_val)[0])
+    return dict(
+        name=qp.name,
+        n=qp.n,
+        m=qp.m,
+        status=con.STATUS_MESSAGE.get(sv, "?"),
+        status_val=sv,
+        iter=int(np.asarray(res.iter)[0]),
+        obj=float(np.asarray(res.obj_val)[0]) + qp.obj_constant,
+        pri_res=float(np.asarray(res.pri_res)[0]),
+        dua_res=float(np.asarray(res.dua_res)[0]),
+        time=time.perf_counter() - t,
+        sparse=True,
+    )
 
 
 def run_maros(
@@ -109,25 +142,40 @@ def run_maros(
                 )
             )
     else:
-        results = solve_problems(
-            [(qp.name, qp.P, qp.q, qp.A, qp.l, qp.u) for qp in problems],
+        # LISWET/CONT-class problems (n or m beyond the dense cutoff)
+        # route through the never-densifying sparse path; the rest go
+        # through the bucketed dense batch.  Rows stay in input order.
+        dense_idx = [
+            i for i, qp in enumerate(problems)
+            if max(qp.n, qp.m) <= SPARSE_N_CUTOFF
+        ]
+        dense_res = solve_problems(
+            [
+                (problems[i].name, problems[i].P, problems[i].q,
+                 problems[i].A, problems[i].l, problems[i].u)
+            for i in dense_idx],
             **settings,
         )
-        for qp, r in zip(problems, results):
-            rows.append(
-                dict(
-                    name=r.name,
-                    n=r.n,
-                    m=r.m,
-                    status=con.STATUS_MESSAGE.get(r.status_val, "?"),
-                    status_val=r.status_val,
-                    iter=r.iter,
-                    obj=r.obj_val + qp.obj_constant,
-                    pri_res=r.pri_res,
-                    dua_res=r.dua_res,
-                    time=float("nan"),
+        by_idx = dict(zip(dense_idx, dense_res))
+        for i, qp in enumerate(problems):
+            if i in by_idx:
+                r = by_idx[i]
+                rows.append(
+                    dict(
+                        name=r.name,
+                        n=r.n,
+                        m=r.m,
+                        status=con.STATUS_MESSAGE.get(r.status_val, "?"),
+                        status_val=r.status_val,
+                        iter=r.iter,
+                        obj=r.obj_val + qp.obj_constant,
+                        pri_res=r.pri_res,
+                        dua_res=r.dua_res,
+                        time=float("nan"),
+                    )
                 )
-            )
+            else:
+                rows.append(_solve_one_sparse(qp, settings))
     # f64 (or other) fallback for problems that failed *numerically*.
     # Infeasibility verdicts carry certificates and are final — retrying
     # them would relabel a legitimate detection as a precision issue.
@@ -151,6 +199,18 @@ def run_maros(
             for i, (r, qp) in enumerate(zip(rows, problems))
             if r["status_val"] not in _final_statuses
         ]
+        # Large problems retry through the sparse path too (densifying
+        # them in the fallback would defeat the routing).
+        retry_sp = [t for t in retry if max(t[1].n, t[1].m) > SPARSE_N_CUTOFF]
+        retry = [t for t in retry if max(t[1].n, t[1].m) <= SPARSE_N_CUTOFF]
+        if retry_sp:
+            from .buckets import fallback_context
+
+            with fallback_context(fallback_dtype):
+                for i, qp in retry_sp:
+                    row = _solve_one_sparse(qp, fb_settings)
+                    row["fallback"] = True
+                    rows[i] = row
         if retry:
             from .buckets import fallback_context
 

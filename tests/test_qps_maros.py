@@ -10,6 +10,10 @@ from osqp_tpu.io.qps import parse_qps
 from osqp_tpu.buckets import solve_problems
 from osqp_tpu.maros import run_maros
 
+import os
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
 BASIC_QPS = """\
 NAME          BASICQP
 ROWS
@@ -269,3 +273,24 @@ class TestMarosHarness:
         r0, _ = run_maros(paths, shard=(0, 2), verbose=False)
         r1, _ = run_maros(paths, shard=(1, 2), verbose=False)
         assert len(r0) + len(r1) == 4
+
+
+@pytest.mark.slow
+def test_large_qps_routes_sparse():
+    """n=10,000 QPS fixture goes through large.solve_sparse (never
+    densified; maros.py SPARSE_N_CUTOFF routing) and matches the
+    tight-f64 INDEX objective at eps accuracy."""
+    import json
+
+    from osqp_tpu.maros import run_maros
+
+    fix = os.path.join(DATA_DIR, "generated", "BANDED_10000.qps")
+    if not os.path.exists(fix):
+        pytest.skip("large fixture not generated")
+    rows, _ = run_maros([fix], eps=1e-3, polish=False, verbose=False)
+    r = rows[0]
+    assert r["sparse"] is True
+    assert r["status_val"] == con.OSQP_SOLVED
+    idx = json.load(open(os.path.join(DATA_DIR, "generated", "INDEX.json")))
+    exp = idx["BANDED_10000"]["obj"]
+    assert abs(r["obj"] - exp) <= 1e-3 * max(1.0, abs(exp))

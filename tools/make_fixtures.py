@@ -186,5 +186,71 @@ def main():
     print(f"{len(problems)} fixtures -> {OUT}")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Large sparse fixture (sparse end-to-end; --large N)
+# ---------------------------------------------------------------------------
+def make_banded(n):
+    """Strictly-convex banded QP (LISWET-CLASS SIZE, controlled
+    conditioning): tridiagonal diagonally-dominant P, bidiagonal A,
+    box constraints active on ~half the rows.  (The actual LISWET
+    family was tried and rejected as a fixture: its dual Hessian DD'
+    with D the second-difference operator has condition ~n^4, and no
+    solver available here pins its flat optimum to reference accuracy.)
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    main = 2.0 + np.abs(rng.standard_normal(n))
+    off = 0.5 * rng.standard_normal(n - 1)
+    P = sp.diags([off, main, off], [-1, 0, 1], format="csc")
+    A = sp.diags([np.ones(n), 0.5 * np.ones(n - 1)], [0, -1],
+                 shape=(n, n), format="csc")
+    q = rng.standard_normal(n)
+    x0 = rng.standard_normal(n)
+    Ax = A @ x0
+    spread = np.abs(rng.standard_normal(n)) + 0.1
+    return P, q, A, Ax - spread, Ax + spread
+
+
+def main_large(n):
+    """Write BANDED_{n}.qps + INDEX entry (never densifies)."""
+    from osqp_tpu.large import SparseSolver
+
+    os.makedirs(OUT, exist_ok=True)
+    P, q, A, l, u = make_banded(n)
+    name = f"BANDED_{n}"
+    path = os.path.join(OUT, f"{name}.qps")
+    write_qps(name, P, q, A, l, u, path=path)
+
+    qp = load_qps(path)
+    assert qp.n == n and qp.m == n, (qp.n, qp.m)
+    s = SparseSolver(
+        P=qp.P, q=qp.q, A=qp.A, l=qp.l, u=qp.u,
+        dtype="float64", eps_abs=1e-7, eps_rel=1e-7, max_iter=20000,
+        verbose=False,
+    )
+    r = s.solve()
+    assert r.info.status_val == con.OSQP_SOLVED, r.info.status
+    chk = kkt_check(qp.P, qp.q, qp.A, qp.l, qp.u,
+                    np.asarray(r.x if not hasattr(r, "x") else r.x),
+                    np.asarray(r.y), eps_abs=1e-6, eps_rel=1e-6)
+    assert chk["ok"], chk
+    idx_path = os.path.join(OUT, "INDEX.json")
+    index = json.load(open(idx_path)) if os.path.exists(idx_path) else {}
+    index[name] = dict(
+        status_val=int(con.OSQP_SOLVED),
+        obj=float(r.info.obj_val + qp.obj_constant),
+    )
+    with open(idx_path, "w") as f:
+        json.dump(index, f, indent=1, sort_keys=True)
+    print(f"{name}: n={n} nnz(P)={qp.P.nnz} obj={index[name]['obj']:+.9e} "
+          f"iters={r.info.iter}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--large":
+        main_large(int(sys.argv[2]))
+    else:
+        main()
