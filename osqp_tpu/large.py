@@ -177,6 +177,10 @@ class SparseSolver:
         self.info = Info(rho_estimate=float(self.settings.rho))
         self.info.setup_time = time.perf_counter() - t0
         self._is_setup = True
+        if self.settings.verbose:
+            from .utils.printing import print_setup_header
+
+            print_setup_header(self)
         return self
 
     def _require_setup(self):
@@ -211,6 +215,11 @@ class SparseSolver:
         self.info.rho_estimate = float(np.asarray(res.rho_estimate)[0])
         self.info.solve_time = time.perf_counter() - t0
         self.info.run_time = self.info.setup_time + self.info.update_time + self.info.solve_time
+        if self.settings.verbose:
+            from .utils.printing import print_summary_footer
+
+            # per-iteration rows are not printed on the sparse path
+            print_summary_footer(self)
         x = np.asarray(res.x)[0]
         y = np.asarray(res.y)[0]
         if self.settings.warm_start and sv in (
