@@ -83,3 +83,113 @@ def solve_single_sharded(
             y=res.y[:, :m], prim_inf_cert=res.prim_inf_cert[:, :m]
         )
     return res
+
+
+def solve_single_sharded_sparse(
+    P,
+    q,
+    A,
+    l,
+    u,
+    mesh: Mesh | None = None,
+    axis_name: str = "batch",
+    **settings,
+):
+    """One LARGE SPARSE QP with A's rows sharded over the mesh — the
+    composition of the two scaling stories: the never-densifying ELL
+    path (osqp_tpu.large) under the intra-problem sharding recipe.
+
+    Sharding layout (annotate + let XLA insert collectives):
+
+    * ``A.val`` / ``A.idx`` / ``l`` / ``u`` row-sharded over m — the
+      gather-only ``A @ x`` is fully local (x replicated);
+    * ``A.t_val`` / ``A.t_idx`` replicated (they are nnz-sized, tiny
+      for sparse problems) — ``A' y`` gathers the row-sharded y, which
+      XLA resolves with one all-gather of y (O(m) bytes) per product;
+    * P (ELL) and all n-vectors replicated.
+
+    P/A are scipy sparse; polish unsupported (as on every sparse path).
+    Returns a batch-of-1 BatchSolveResults.
+    """
+    import scipy.sparse as sp
+
+    from ..batch import _solve_segmented, make_config
+    from ..sparse_ops import ELLMatrix, ell_from_scipy
+    from ..solver import Settings, validate_settings
+    from ..types import DynSettings
+
+    if settings.get("polish"):
+        raise ValueError("polish is not supported on the sparse path")
+    settings.setdefault("linsys_solver", "cg")
+    s = Settings(**settings)
+    validate_settings(s)
+    if s.linsys_solver != "cg":
+        raise ValueError("intra-problem sharding requires the cg backend")
+    mesh = mesh or make_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+
+    q = np.asarray(q, np.float64).ravel()
+    l = np.asarray(l, np.float64).ravel()
+    u = np.asarray(u, np.float64).ravel()
+    A = sp.csr_matrix(A)
+    m, n = A.shape
+    pad = (-m) % n_dev
+    if pad:
+        A = sp.vstack([A, sp.csr_matrix((pad, n))], format="csr")
+        l = np.concatenate([l, np.full(pad, -OSQP_INFTY)])
+        u = np.concatenate([u, np.full(pad, OSQP_INFTY)])
+        m += pad
+
+    dtype = jnp.dtype(s.dtype) if s.dtype is not None else jnp.dtype(
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    )
+    P_ell = ell_from_scipy(sp.csr_matrix(P), dtype, batch=1,
+                           sym_from_triu=True)
+    A_ell = ell_from_scipy(A, dtype, batch=1)
+
+    row2 = NamedSharding(mesh, PartitionSpec(axis_name, None))
+    row3 = NamedSharding(mesh, PartitionSpec(None, axis_name, None))
+    rowv = NamedSharding(mesh, PartitionSpec(None, axis_name))
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    A_ell = ELLMatrix(
+        val=jax.device_put(A_ell.val, row3),
+        idx=jax.device_put(A_ell.idx, row2),
+        t_val=jax.device_put(A_ell.t_val, repl),
+        t_idx=jax.device_put(A_ell.t_idx, repl),
+        shape=A_ell.shape,
+    )
+    P_ell = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, repl), P_ell
+    )
+    clamp = lambda v: jnp.clip(
+        jnp.asarray(v, dtype), -OSQP_INFTY, OSQP_INFTY
+    )
+    cfg = make_config(n, m, s, dtype)
+    dyn = DynSettings.make(
+        dtype,
+        sigma=s.sigma,
+        alpha=s.alpha,
+        eps_abs=s.eps_abs,
+        eps_rel=s.eps_rel,
+        eps_prim_inf=s.eps_prim_inf,
+        eps_dual_inf=s.eps_dual_inf,
+        adaptive_rho_tolerance=s.adaptive_rho_tolerance,
+        delta=s.delta,
+    )
+    res = _solve_segmented(
+        cfg, int(s.scaling), False, 0,
+        P_ell,
+        jax.device_put(jnp.asarray(q, dtype)[None], repl),
+        A_ell,
+        jax.device_put(clamp(l)[None], rowv),
+        jax.device_put(clamp(u)[None], rowv),
+        jnp.full((1,), s.rho, dtype),
+        dyn, None, None,
+        time_limit=float(s.time_limit),
+    )
+    if pad:
+        res = res._replace(
+            y=res.y[:, : m - pad], prim_inf_cert=res.prim_inf_cert[:, : m - pad]
+        )
+    return res
