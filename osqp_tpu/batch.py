@@ -26,6 +26,7 @@ import numpy as np
 from . import admm as admm_mod
 from . import constants as con
 from . import linsys as linsys_registry
+from .linsys import cg as _cg
 from .admm import set_rho_state
 from .linalg import bwhere, norm_inf, with_high_precision
 from .polish import polish as polish_fn
@@ -477,15 +478,6 @@ def _solve_segmented(
     return _post_c(cfg, do_polish, refine_iter, scaled, scl, dyn, result)
 
 
-def _link_cg_floor(settings) -> float:
-    eps_pos = [e for e in (settings.eps_abs, settings.eps_rel) if e > 0]
-    floor = min(eps_pos) if eps_pos else 1.0
-    ctf = float(settings.cg_tol_fraction)
-    if floor < 1e-5:
-        ctf = min(ctf, max(1e-2 * floor, 1e-12))
-    return ctf
-
-
 def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
     return StaticConfig(
         n=n,
@@ -502,7 +494,7 @@ def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
         # subproblem error caps outer convergence (observed: eps=1e-8
         # stalls at pri_res ~0.3 with the 1e-7 default floor).  Zero
         # tolerances are allowed individually; only positive ones bind.
-        cg_tol_fraction=_link_cg_floor(settings),
+        cg_tol_fraction=_cg.link_cg_floor(settings),
         block_size=int(settings.block_size),
         anderson_memory=int(settings.anderson_memory),
     )
@@ -584,7 +576,16 @@ def solve_batch(
         x0,
         y0,
     )
-    if compact or segmented:
+    # Under an outer jax trace (jit/vmap/grad of a caller — e.g. the
+    # differentiable QP layer inside a jitted training step) the
+    # host-segmented driver cannot poll device state; trace the whole
+    # solve as one pure program instead.  Semantics are identical except
+    # Ctrl-C/time_limit polling, which a traced context cannot do anyway.
+    traced = any(
+        isinstance(v, jax.core.Tracer) for v in (P, q, A, l, u, x0, y0)
+        if v is not None
+    )
+    if (compact or segmented) and not traced:
         return _solve_segmented(
             *args,
             compact=bool(compact),

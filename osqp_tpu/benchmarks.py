@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import time
+import zlib
 
 import numpy as np
 
@@ -170,6 +171,12 @@ FAMILIES = {
 }
 
 
+def stable_seed(*parts) -> int:
+    """Process-independent seed (python's hash() is salted per process,
+    which would make "seeded" suites unreproducible)."""
+    return zlib.crc32("|".join(map(str, parts)).encode())
+
+
 def generate_suite(dims=(10, 30, 60, 120, 250), instances=2, seed=0,
                    families=None):
     """[(name, family, P, q, A, l, u)] over families x dims x instances."""
@@ -180,7 +187,7 @@ def generate_suite(dims=(10, 30, 60, 120, 250), instances=2, seed=0,
         for n in dims:
             for i in range(instances):
                 rng = np.random.default_rng(
-                    abs(hash((fam, int(n), int(i), int(seed)))) % (2**32)
+                    stable_seed(fam, int(n), int(i), int(seed))
                 )
                 P, q, A, l, u = gen(int(n), rng)
                 out.append((f"{fam}_n{n}_{i}", fam, P, q, A, l, u))

@@ -35,20 +35,13 @@ from .solver import Info, Results, Settings, update_csc_values, validate_setting
 from .types import DynSettings
 
 
-def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResults:
-    """Solve one sparse QP (or B sharing the sparsity pattern and data,
-    with per-instance q/l/u) without ever densifying P or A.
-
-    Args:
-      P: scipy sparse (n, n), upper-triangular or full symmetric.
-      q: (n,) or (B, n).
-      A: scipy sparse (m, n).
-      l, u: (m,) or (B, m).
-      settings: reference setting names; ``linsys_solver`` must be
-        ``"cg"`` (default here) and ``polish`` False.
-
-    Returns :class:`BatchSolveResults` (B = 1 for 1-D inputs).
-    """
+def prepare_sparse(P, q, A, l, u, settings: dict):
+    """Shared sparse-entry preparation: settings validation (cg-only,
+    polish rejected), dtype resolution, ELL operand construction, and
+    the static/dynamic configs.  Used by :func:`solve_sparse` and the
+    mesh-sharded entry (parallel/intra.py) so the contract lives in one
+    place.  Returns (s, dtype, cfg, dyn, P_ell, A_ell, q2d, l2d, u2d)
+    with q/l/u clamped device-ready (B, ·) float64 numpy."""
     import jax.numpy as jnp
     import jax
 
@@ -58,7 +51,7 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
     if s.linsys_solver != "cg":
         raise con.OSQPError(
             con.ErrorCode.SETTINGS_VALIDATION_ERROR,
-            "solve_sparse supports only the matrix-free 'cg' backend",
+            "the sparse path supports only the matrix-free 'cg' backend",
         )
     if s.polish:
         raise con.OSQPError(
@@ -101,12 +94,42 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
         adaptive_rho_tolerance=s.adaptive_rho_tolerance,
         delta=s.delta,
     )
+    return s, dtype, cfg, dyn, P_ell, A_ell, q, l, u
+
+
+def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResults:
+    """Solve one sparse QP (or B sharing the sparsity pattern and data,
+    with per-instance q/l/u) without ever densifying P or A.
+
+    Args:
+      P: scipy sparse (n, n), upper-triangular or full symmetric.
+      q: (n,) or (B, n).
+      A: scipy sparse (m, n).
+      l, u: (m,) or (B, m).
+      settings: reference setting names; ``linsys_solver`` must be
+        ``"cg"`` (default here) and ``polish`` False.
+
+    Returns :class:`BatchSolveResults` (B = 1 for 1-D inputs).
+    """
+    import jax.numpy as jnp
+
+    s, dtype, cfg, dyn, P_ell, A_ell, q, l, u = prepare_sparse(
+        P, q, A, l, u, settings
+    )
+    B, n = q.shape
+    m = l.shape[-1]
     clamp = lambda v: jnp.clip(
         jnp.asarray(v, dtype), -con.OSQP_INFTY, con.OSQP_INFTY
     )
     rho0 = jnp.full((B,), s.rho, dtype)
-    if x0 is not None:
-        x0 = jnp.asarray(x0, dtype).reshape(B, n)
+    if x0 is not None or y0 is not None:
+        # reference osqp_warm_start semantics: either side alone is
+        # allowed, the other defaults to zero (osqp.c:967-1010)
+        x0 = (
+            jnp.asarray(x0, dtype).reshape(B, n)
+            if x0 is not None
+            else jnp.zeros((B, n), dtype)
+        )
         y0 = (
             jnp.asarray(y0, dtype).reshape(B, m)
             if y0 is not None
@@ -199,7 +222,9 @@ class SparseSolver:
             for f in dataclasses.fields(Settings)
         }
         x0 = y0 = None
-        if self.settings.warm_start and self._x0 is not None:
+        if self.settings.warm_start and (
+            self._x0 is not None or self._y0 is not None
+        ):
             x0, y0 = self._x0, self._y0
         res = solve_sparse(
             self._Pu, self._q, self._Ac, self._l, self._u, x0=x0, y0=y0, **kw
@@ -247,8 +272,6 @@ class SparseSolver:
             self._x0 = np.asarray(x, np.float64).reshape(self.n)
         if y is not None:
             self._y0 = np.asarray(y, np.float64).reshape(self.m)
-        if self._x0 is not None and self._y0 is None:
-            self._y0 = np.zeros(self.m)
 
     # -- data updates (host O(nnz); next solve picks them up) --------------
     def _tick_update(self, t0):

@@ -59,6 +59,20 @@ def init(P, A, sigma, rho_vec, cg_max_iter: int = 0, cg_tol_fraction: float = 1e
 _TOL_REL_CAP = 1e-2  # never solve the subproblem looser than 1% relative
 
 
+def link_cg_floor(settings) -> float:
+    """cg_tol_fraction that actually permits the requested outer eps:
+    the inexact-solve floor must sit below the outer tolerance or the
+    subproblem error caps outer convergence (observed: eps=1e-8 stalls
+    at pri_res ~0.3 with the static 1e-7 default).  Zero tolerances are
+    allowed individually; only positive ones bind."""
+    eps_pos = [e for e in (settings.eps_abs, settings.eps_rel) if e > 0]
+    floor = min(eps_pos) if eps_pos else 1.0
+    ctf = float(settings.cg_tol_fraction)
+    if floor < 1e-5:
+        ctf = min(ctf, max(1e-2 * floor, 1e-12))
+    return ctf
+
+
 def update_tolerance(factor, tol_ratio, dyn):
     """Inexact-ADMM schedule: solve the subproblem loosely while the
     outer iteration is far from its tolerances, proportionally tighter

@@ -124,6 +124,11 @@ def run_maros(
         from .solver import Solver
 
         for qp in problems:
+            if max(qp.n, qp.m) > SPARSE_N_CUTOFF:
+                # densifying these would be multi-GB; same routing as
+                # the batched branch
+                rows.append(_solve_one_sparse(qp, settings))
+                continue
             t = time.perf_counter()
             s = Solver(P=qp.P, q=qp.q, A=qp.A, l=qp.l, u=qp.u, **settings)
             r = s.solve()

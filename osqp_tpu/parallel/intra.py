@@ -109,43 +109,33 @@ def solve_single_sharded_sparse(
     * P (ELL) and all n-vectors replicated.
 
     P/A are scipy sparse; polish unsupported (as on every sparse path).
-    Returns a batch-of-1 BatchSolveResults.
+    Validation, dtype resolution, ELL construction and configs are the
+    shared :func:`osqp_tpu.large.prepare_sparse`; only the row padding
+    and device placement live here.  Returns a batch-of-1
+    BatchSolveResults.
     """
     import scipy.sparse as sp
 
-    from ..batch import _solve_segmented, make_config
-    from ..sparse_ops import ELLMatrix, ell_from_scipy
-    from ..solver import Settings, validate_settings
-    from ..types import DynSettings
+    from ..batch import _solve_segmented
+    from ..large import prepare_sparse
+    from ..sparse_ops import ELLMatrix
 
-    if settings.get("polish"):
-        raise ValueError("polish is not supported on the sparse path")
-    settings.setdefault("linsys_solver", "cg")
-    s = Settings(**settings)
-    validate_settings(s)
-    if s.linsys_solver != "cg":
-        raise ValueError("intra-problem sharding requires the cg backend")
     mesh = mesh or make_mesh(axis_name=axis_name)
     n_dev = mesh.devices.size
 
-    q = np.asarray(q, np.float64).ravel()
     l = np.asarray(l, np.float64).ravel()
     u = np.asarray(u, np.float64).ravel()
     A = sp.csr_matrix(A)
-    m, n = A.shape
-    pad = (-m) % n_dev
+    m0 = A.shape[0]
+    pad = (-m0) % n_dev
     if pad:
-        A = sp.vstack([A, sp.csr_matrix((pad, n))], format="csr")
+        A = sp.vstack([A, sp.csr_matrix((pad, A.shape[1]))], format="csr")
         l = np.concatenate([l, np.full(pad, -OSQP_INFTY)])
         u = np.concatenate([u, np.full(pad, OSQP_INFTY)])
-        m += pad
 
-    dtype = jnp.dtype(s.dtype) if s.dtype is not None else jnp.dtype(
-        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    s, dtype, cfg, dyn, P_ell, A_ell, q2, l2, u2 = prepare_sparse(
+        P, q, A, l, u, settings
     )
-    P_ell = ell_from_scipy(sp.csr_matrix(P), dtype, batch=1,
-                           sym_from_triu=True)
-    A_ell = ell_from_scipy(A, dtype, batch=1)
 
     row2 = NamedSharding(mesh, PartitionSpec(axis_name, None))
     row3 = NamedSharding(mesh, PartitionSpec(None, axis_name, None))
@@ -165,31 +155,19 @@ def solve_single_sharded_sparse(
     clamp = lambda v: jnp.clip(
         jnp.asarray(v, dtype), -OSQP_INFTY, OSQP_INFTY
     )
-    cfg = make_config(n, m, s, dtype)
-    dyn = DynSettings.make(
-        dtype,
-        sigma=s.sigma,
-        alpha=s.alpha,
-        eps_abs=s.eps_abs,
-        eps_rel=s.eps_rel,
-        eps_prim_inf=s.eps_prim_inf,
-        eps_dual_inf=s.eps_dual_inf,
-        adaptive_rho_tolerance=s.adaptive_rho_tolerance,
-        delta=s.delta,
-    )
     res = _solve_segmented(
         cfg, int(s.scaling), False, 0,
         P_ell,
-        jax.device_put(jnp.asarray(q, dtype)[None], repl),
+        jax.device_put(jnp.asarray(q2, dtype), repl),
         A_ell,
-        jax.device_put(clamp(l)[None], rowv),
-        jax.device_put(clamp(u)[None], rowv),
+        jax.device_put(clamp(l2), rowv),
+        jax.device_put(clamp(u2), rowv),
         jnp.full((1,), s.rho, dtype),
         dyn, None, None,
         time_limit=float(s.time_limit),
     )
     if pad:
         res = res._replace(
-            y=res.y[:, : m - pad], prim_inf_cert=res.prim_inf_cert[:, : m - pad]
+            y=res.y[:, :m0], prim_inf_cert=res.prim_inf_cert[:, :m0]
         )
     return res

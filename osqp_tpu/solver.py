@@ -34,6 +34,7 @@ import numpy as np
 
 from . import constants as con
 from . import linsys as linsys_registry
+from .linsys import cg as _cg_backend
 from . import admm as admm_mod
 from .admm import set_rho_state, update_rho_state
 from .constants import ErrorCode, OSQPError
@@ -310,7 +311,7 @@ class Solver:
             linsys_solver=str(self.settings.linsys_solver),
             dtype=str(dt),
             cg_max_iter=int(self.settings.cg_max_iter),
-            cg_tol_fraction=float(self.settings.cg_tol_fraction),
+            cg_tol_fraction=_cg_backend.link_cg_floor(self.settings),
             block_size=int(self.settings.block_size),
             anderson_memory=int(self.settings.anderson_memory),
         )
@@ -771,17 +772,30 @@ class Solver:
         self.settings.max_iter = int(v)
         self._cfg = dataclasses.replace(self._cfg, max_iter=int(v))
 
+    def _refresh_cg_floor(self):
+        """Tightened eps may need a lower inexact-CG floor; rebuilding
+        the static config (a recompile next solve) keeps the linkage
+        live after update_eps_* (see linsys/cg.py:link_cg_floor)."""
+        if self._cfg.linsys_solver != "cg":
+            return
+        new = _cg_backend.link_cg_floor(self.settings)
+        if new != self._cfg.cg_tol_fraction:
+            self._cfg = dataclasses.replace(self._cfg, cg_tol_fraction=new)
+            self._push_data_and_factor(rho=float(self.rho_state.rho[0]))
+
     def update_eps_abs(self, v):
         if v < 0:
             raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "eps_abs must be nonnegative")
         self.settings.eps_abs = float(v)
         self._set_dyn(eps_abs=v)
+        self._refresh_cg_floor()
 
     def update_eps_rel(self, v):
         if v < 0:
             raise OSQPError(ErrorCode.SETTINGS_VALIDATION_ERROR, "eps_rel must be nonnegative")
         self.settings.eps_rel = float(v)
         self._set_dyn(eps_rel=v)
+        self._refresh_cg_floor()
 
     def update_eps_prim_inf(self, v):
         if v <= 0:

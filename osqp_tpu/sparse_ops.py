@@ -72,16 +72,20 @@ class ELLMatrix:
 
 
 def _to_ell_rows(M: "sp.csr_matrix"):
-    """(idx (m, k) int32, val (m, k) f64) from a CSR matrix."""
+    """(idx (m, k) int32, val (m, k) f64) from a CSR matrix.
+
+    Vectorized O(nnz) construction — a per-row Python loop costs seconds
+    at the n ~ 1e5 scale this path targets, and runs on every
+    SparseSolver.solve() re-entry."""
     m = M.shape[0]
     counts = np.diff(M.indptr)
     k = max(int(counts.max()) if m else 0, 1)
     idx = np.zeros((m, k), np.int32)
     val = np.zeros((m, k), np.float64)
-    for i in range(m):
-        s, e = M.indptr[i], M.indptr[i + 1]
-        idx[i, : e - s] = M.indices[s:e]
-        val[i, : e - s] = M.data[s:e]
+    if M.nnz:
+        slot = np.arange(k)[None, :] < counts[:, None]  # (m, k) bool
+        idx[slot] = M.indices
+        val[slot] = M.data
     return idx, val
 
 

@@ -90,3 +90,28 @@ def test_inactive_bounds_get_zero_gradient():
     dl, du = jax.grad(loss, argnums=(0, 1))(jnp.asarray(l), jnp.asarray(u))
     np.testing.assert_allclose(np.asarray(dl), 0.0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(du), 0.0, atol=1e-12)
+
+
+def test_layer_works_under_jit():
+    """The segmented host driver cannot run under an outer trace;
+    solve_batch must fall back to the pure one-program path so the QP
+    layer stays usable inside a jitted training step (regression:
+    TracerArrayConversionError at np.asarray(c.active))."""
+    rng = np.random.default_rng(2)
+    n, m = 6, 8
+    M = rng.standard_normal((n, n))
+    P = (M @ M.T + 0.1 * np.eye(n))[None]
+    A = rng.standard_normal((m, n))
+    x0 = rng.standard_normal(n)
+    l, u = (A @ x0 - 1)[None], (A @ x0 + 1)[None]
+    A = A[None]
+    layer = make_qp_layer(eps_abs=1e-8, eps_rel=1e-8)
+
+    def loss(q):
+        return jnp.sum(layer(P, q[None], A, l, u) ** 2)
+
+    q = jnp.asarray(rng.standard_normal(n))
+    g_eager = jax.grad(loss)(q)
+    g_jit = jax.jit(jax.grad(loss))(q)
+    np.testing.assert_allclose(np.asarray(g_jit), np.asarray(g_eager),
+                               atol=1e-10)

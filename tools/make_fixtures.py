@@ -31,7 +31,7 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 
 from osqp_tpu import constants as con
-from osqp_tpu.benchmarks import FAMILIES
+from osqp_tpu.benchmarks import FAMILIES, stable_seed
 from osqp_tpu.io.qps import load_qps
 from osqp_tpu.io.qps_write import write_qps
 from osqp_tpu.solver import Solver
@@ -130,12 +130,12 @@ def main():
     feasible = [f for f in FAMILIES if not f.endswith("infeasible")]
     for fam in feasible:
         for n in (8, 20, 50):
-            rng = np.random.default_rng(abs(hash((fam, n, "fixture"))) % 2**32)
+            rng = np.random.default_rng(stable_seed(fam, n, "fixture"))
             P, q, A, l, u = FAMILIES[fam](n, rng)
             problems.append((f"{fam.upper()}_{n}", P, q, A, l, u, 0.0))
     # One infeasible fixture of each kind (status fixtures, no objective).
     for fam in ("primal_infeasible", "dual_infeasible"):
-        rng = np.random.default_rng(abs(hash((fam, "fixture"))) % 2**32)
+        rng = np.random.default_rng(stable_seed(fam, "fixture"))
         P, q, A, l, u = FAMILIES[fam](10, rng)
         problems.append((fam.upper(), P, q, A, l, u, 0.0))
 
