@@ -31,7 +31,7 @@ from .admm import set_rho_state
 from .linalg import bwhere, norm_inf, with_high_precision
 from .polish import polish as polish_fn
 from .scaling import scale_data, unscale_solution
-from .solver import Settings, _resolve_rho_interval, validate_settings
+from .solver import Settings, _resolve_rho_interval, make_config, validate_settings
 from .types import (
     DynSettings,
     Iterates,
@@ -478,27 +478,6 @@ def _solve_segmented(
     return _post_c(cfg, do_polish, refine_iter, scaled, scl, dyn, result)
 
 
-def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
-    return StaticConfig(
-        n=n,
-        m=m,
-        max_iter=int(settings.max_iter),
-        check_termination=int(settings.check_termination),
-        adaptive_rho=bool(settings.adaptive_rho),
-        adaptive_rho_interval=_resolve_rho_interval(settings),
-        scaled_termination=bool(settings.scaled_termination),
-        linsys_solver=str(settings.linsys_solver),
-        dtype=str(jnp.dtype(dtype)),
-        cg_max_iter=int(settings.cg_max_iter),
-        # The inexact-CG floor must sit below the outer tolerance or the
-        # subproblem error caps outer convergence (observed: eps=1e-8
-        # stalls at pri_res ~0.3 with the 1e-7 default floor).  Zero
-        # tolerances are allowed individually; only positive ones bind.
-        cg_tol_fraction=_cg.link_cg_floor(settings),
-        block_size=int(settings.block_size),
-        anderson_memory=int(settings.anderson_memory),
-    )
-
 
 def solve_batch(
     P, q, A, l, u, x0=None, y0=None, compact=False, min_compact_batch=256,
@@ -557,8 +536,10 @@ def solve_batch(
         delta=s.delta,
     )
     rho0 = jnp.full((B,), s.rho, dtype)
-    if x0 is not None:
-        x0 = jnp.asarray(x0, dtype)
+    if x0 is not None or y0 is not None:
+        # reference osqp_warm_start: either side alone is allowed, the
+        # other defaults to zero (osqp.c:967-1010)
+        x0 = jnp.asarray(x0, dtype) if x0 is not None else jnp.zeros((B, n), dtype)
         y0 = jnp.asarray(y0, dtype) if y0 is not None else jnp.zeros((B, m), dtype)
 
     args = (

@@ -63,8 +63,9 @@ def prepare_sparse(P, q, A, l, u, settings: dict):
     B, n = q.shape
     l = np.atleast_2d(np.asarray(l, np.float64))
     u = np.atleast_2d(np.asarray(u, np.float64))
-    l = np.broadcast_to(l, (B, l.shape[-1]))
-    u = np.broadcast_to(u, (B, u.shape[-1]))
+    # the reference's finite infinity (constants.h:98-100)
+    l = np.clip(np.broadcast_to(l, (B, l.shape[-1])), -con.OSQP_INFTY, con.OSQP_INFTY)
+    u = np.clip(np.broadcast_to(u, (B, u.shape[-1])), -con.OSQP_INFTY, con.OSQP_INFTY)
     m = l.shape[-1]
 
     if s.dtype is not None:
@@ -118,9 +119,6 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
     )
     B, n = q.shape
     m = l.shape[-1]
-    clamp = lambda v: jnp.clip(
-        jnp.asarray(v, dtype), -con.OSQP_INFTY, con.OSQP_INFTY
-    )
     rho0 = jnp.full((B,), s.rho, dtype)
     if x0 is not None or y0 is not None:
         # reference osqp_warm_start semantics: either side alone is
@@ -138,7 +136,8 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
 
     return _solve_segmented(
         cfg, int(s.scaling), False, 0,
-        P_ell, jnp.asarray(q, dtype), A_ell, clamp(l), clamp(u),
+        P_ell, jnp.asarray(q, dtype), A_ell,
+        jnp.asarray(l, dtype), jnp.asarray(u, dtype),
         rho0, dyn, x0, y0,
         time_limit=float(s.time_limit),
     )

@@ -47,11 +47,19 @@ def solve_single_sharded(
     mesh size (exact — rho classifies them loose, residuals are zero).
     Returns a batch-of-1 :class:`BatchSolveResults`.
     """
+    from ..constants import ErrorCode, OSQPError
+
     if settings.get("polish"):
-        raise ValueError("polish is not supported on the sharded-single path")
+        raise OSQPError(
+            ErrorCode.SETTINGS_VALIDATION_ERROR,
+            "polish is not supported on the sharded-single path",
+        )
     settings.setdefault("linsys_solver", "cg")
     if settings["linsys_solver"] != "cg":
-        raise ValueError("intra-problem sharding requires the cg backend")
+        raise OSQPError(
+            ErrorCode.SETTINGS_VALIDATION_ERROR,
+            "intra-problem sharding requires the cg backend",
+        )
     mesh = mesh or make_mesh(axis_name=axis_name)
     n_dev = mesh.devices.size
 
@@ -152,16 +160,13 @@ def solve_single_sharded_sparse(
     P_ell = jax.tree_util.tree_map(
         lambda a: jax.device_put(a, repl), P_ell
     )
-    clamp = lambda v: jnp.clip(
-        jnp.asarray(v, dtype), -OSQP_INFTY, OSQP_INFTY
-    )
     res = _solve_segmented(
         cfg, int(s.scaling), False, 0,
         P_ell,
         jax.device_put(jnp.asarray(q2, dtype), repl),
         A_ell,
-        jax.device_put(clamp(l2), rowv),
-        jax.device_put(clamp(u2), rowv),
+        jax.device_put(jnp.asarray(l2, dtype), rowv),
+        jax.device_put(jnp.asarray(u2, dtype), rowv),
         jnp.full((1,), s.rho, dtype),
         dyn, None, None,
         time_limit=float(s.time_limit),

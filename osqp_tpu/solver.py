@@ -155,6 +155,31 @@ def _resolve_rho_interval(s: Settings) -> int:
     return con.ADAPTIVE_RHO_FIXED
 
 
+def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
+    """The ONE place a StaticConfig is derived from Settings — shared by
+    Solver and the batched API so config-derived policies (the cg-floor
+    linkage below, interval resolution) cannot diverge between them."""
+    return StaticConfig(
+        n=n,
+        m=m,
+        max_iter=int(settings.max_iter),
+        check_termination=int(settings.check_termination),
+        adaptive_rho=bool(settings.adaptive_rho),
+        adaptive_rho_interval=_resolve_rho_interval(settings),
+        scaled_termination=bool(settings.scaled_termination),
+        linsys_solver=str(settings.linsys_solver),
+        dtype=str(jnp.dtype(dtype)),
+        cg_max_iter=int(settings.cg_max_iter),
+        # The inexact-CG floor must sit below the outer tolerance or the
+        # subproblem error caps outer convergence (observed: eps=1e-8
+        # stalls at pri_res ~0.3 with the 1e-7 default floor).  Zero
+        # tolerances are allowed individually; only positive ones bind.
+        cg_tol_fraction=_cg_backend.link_cg_floor(settings),
+        block_size=int(settings.block_size),
+        anderson_memory=int(settings.anderson_memory),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Info / results (types.h:66-91)
 # ---------------------------------------------------------------------------
@@ -300,21 +325,7 @@ class Solver:
             dt = jnp.dtype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         self._dtype = dt
 
-        self._cfg = StaticConfig(
-            n=n,
-            m=m,
-            max_iter=int(self.settings.max_iter),
-            check_termination=int(self.settings.check_termination),
-            adaptive_rho=bool(self.settings.adaptive_rho),
-            adaptive_rho_interval=_resolve_rho_interval(self.settings),
-            scaled_termination=bool(self.settings.scaled_termination),
-            linsys_solver=str(self.settings.linsys_solver),
-            dtype=str(dt),
-            cg_max_iter=int(self.settings.cg_max_iter),
-            cg_tol_fraction=_cg_backend.link_cg_floor(self.settings),
-            block_size=int(self.settings.block_size),
-            anderson_memory=int(self.settings.anderson_memory),
-        )
+        self._cfg = make_config(n, m, self.settings, dt)
         self._dyn = DynSettings.make(
             dt,
             sigma=self.settings.sigma,
@@ -781,7 +792,15 @@ class Solver:
         new = _cg_backend.link_cg_floor(self.settings)
         if new != self._cfg.cg_tol_fraction:
             self._cfg = dataclasses.replace(self._cfg, cg_tol_fraction=new)
-            self._push_data_and_factor(rho=float(self.rho_state.rho[0]))
+            # only the factor's tol_frac depends on the config — the
+            # scaled data/scaling/rho classification are unchanged
+            self.factor = _device_refactor(
+                self._cfg,
+                self.data.P,
+                self.data.A,
+                self._dyn.sigma,
+                self.rho_state.rho_vec,
+            )
 
     def update_eps_abs(self, v):
         if v < 0:

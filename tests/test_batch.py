@@ -99,3 +99,16 @@ class TestSharded:
         np.testing.assert_array_equal(
             np.asarray(res_shard.iter), np.asarray(res_local.iter)
         )
+
+
+def test_y_only_warm_start_honored():
+    """osqp_warm_start allows either side alone (osqp.c:967-1010);
+    regression: solve_batch silently ignored y0 without x0."""
+    P, q, A, l, u = random_qps(4, 20, 30, seed=9)
+    kw = dict(polish=False, verbose=False, check_termination=1)
+    r_cold = solve_batch(P, q, A, l, u, **kw)
+    r_warm = solve_batch(P, q, A, l, u, y0=r_cold.y, **kw)
+    assert np.all(np.asarray(r_warm.iter) <= np.asarray(r_cold.iter))
+    assert float(np.asarray(r_warm.iter).mean()) < float(
+        np.asarray(r_cold.iter).mean()
+    )

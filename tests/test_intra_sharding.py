@@ -93,10 +93,12 @@ def test_sharded_outputs_actually_sharded_and_hlo_has_collectives():
 
 
 def test_sharded_single_rejects_polish_and_direct_backends():
+    from osqp_tpu.constants import OSQPError
+
     P, q, A, l, u = _qp()
-    with pytest.raises(ValueError):
+    with pytest.raises(OSQPError):
         solve_single_sharded(P, q, A, l, u, polish=True)
-    with pytest.raises(ValueError):
+    with pytest.raises(OSQPError):
         solve_single_sharded(P, q, A, l, u, linsys_solver="dense_inv")
 
 
