@@ -26,12 +26,11 @@ import numpy as np
 from . import admm as admm_mod
 from . import constants as con
 from . import linsys as linsys_registry
-from .linsys import cg as _cg
 from .admm import set_rho_state
 from .linalg import bwhere, norm_inf, with_high_precision
 from .polish import polish as polish_fn
 from .scaling import scale_data, unscale_solution
-from .solver import Settings, _resolve_rho_interval, make_config, validate_settings
+from .solver import Settings, make_config, validate_settings
 from .types import (
     DynSettings,
     Iterates,
