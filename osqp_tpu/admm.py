@@ -184,7 +184,9 @@ def _unflatten_it(v, n, m) -> Iterates:
     return Iterates(x=v[..., :n], z=v[..., n : n + m], y=v[..., n + m :])
 
 
-def _anderson_mix(cfg, c: "_Carry", it_plain: Iterates) -> tuple["_AAState", Iterates]:
+def _anderson_mix(
+    cfg, data: QPData, c: "_Carry", it_plain: Iterates
+) -> tuple["_AAState", Iterates]:
     """One safeguarded AA step.  Returns (new aa state, mixed iterates)."""
     mem = int(cfg.anderson_memory)
     n, m = cfg.n, cfg.m
@@ -232,6 +234,17 @@ def _anderson_mix(cfg, c: "_Carry", it_plain: Iterates) -> tuple["_AAState", Ite
         "bm,bmd->bd", gamma, dVm + dFm,
         preferred_element_type=f_k.dtype, precision="highest",
     )
+    if m:
+        # The mixed z is an unconstrained linear combination and can
+        # leave [l, u]; the termination check's pri_res = ||Ax - z||
+        # relies on the plain-ADMM invariant z in the box (a check
+        # landing on an AA step could otherwise report SOLVED with Ax
+        # outside the bounds).  Clip the z block back to the (scaled)
+        # box before the acceptance test.
+        z_aa = jnp.clip(v_aa[..., n : n + m], data.l, data.u)
+        v_aa = jnp.concatenate(
+            [v_aa[..., :n], z_aa, v_aa[..., n + m :]], axis=-1
+        )
     ok = (
         act
         & (count >= 1)
@@ -435,7 +448,7 @@ def run_segment(
             backend, c.factor, data, dyn, c.rho_state, c.it
         )
         if cfg.anderson_memory > 0:
-            aa_new, it_new = _anderson_mix(cfg, c, it_new)
+            aa_new, it_new = _anderson_mix(cfg, data, c, it_new)
             c = c._replace(aa=aa_new)
         it_masked = bwhere(c.active, it_new, c.it)
         c = c._replace(

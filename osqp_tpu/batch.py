@@ -292,6 +292,18 @@ def _solve_segmented(
 ):
     t0 = time.perf_counter()
     B = q.shape[0]
+    if compact:
+        from .sparse_ops import ELLMatrix
+
+        if isinstance(P, ELLMatrix) or isinstance(A, ELLMatrix):
+            # _gather_tree indexes every ndim>=1 leaf by instance row;
+            # ELL pattern leaves (idx (m,k), t_idx (n,kt)) are unbatched
+            # and would be silently corrupted.
+            raise con.OSQPError(
+                con.ErrorCode.DATA_VALIDATION_ERROR,
+                "instance compaction is not supported with ELL (sparse) "
+                "operands",
+            )
     check = cfg.check_termination if cfg.check_termination > 0 else 25
     # Segment length = Ctrl-C / time_limit polling granularity.  The
     # compiled segment exits on its own as soon as every instance
@@ -308,7 +320,25 @@ def _solve_segmented(
         # mask, so the device never idles on the host round trip (an
         # enqueued segment whose instances all terminated is a no-op —
         # the while_loop cond fails at entry).
-        first_end = min(4 * seg, cfg.max_iter)
+        #
+        # With no time limit the fused first dispatch spans the ENTIRE
+        # iteration range: the happy path is then literally one device
+        # program with zero host polls (the device loop exits at
+        # termination on its own), matching the single-program
+        # solve_batch_jit cost exactly — each host poll costs a tunnel
+        # round trip (~2-9% of the headline bench, docs/performance.md).
+        # Ctrl-C during that single dispatch propagates as
+        # KeyboardInterrupt from whichever host call first blocks on the
+        # result (same contract as solve_batch_jit); the polling loop —
+        # and its SIGINT -> OSQP_SIGINT status conversion — engages
+        # whenever a time limit makes host polling necessary anyway.
+        # With a time limit the FIRST poll must come early (the
+        # reference polls the clock every iteration, osqp.c:387-407),
+        # so the fused segment shrinks to one polling quantum.
+        if time_limit > 0:
+            first_end = min(seg, cfg.max_iter)
+        else:
+            first_end = cfg.max_iter
         try:
             scaled, scl, rho_state, factor, c, res = _start_c(
                 cfg, scaling_iters, do_polish, refine_iter,

@@ -77,19 +77,32 @@ def init(P, A, sigma, rho_vec, **_):
         from ..ops.spd_inverse import spd_inverse
 
         X = spd_inverse(M)
-        # Residual guard: if any instance's inverse is inaccurate
-        # (kappa beyond what the recursion+Newton-Schulz handles in this
-        # dtype), recompute the whole batch via cholesky.  NaN instances
-        # (non-PD) do NOT trigger the fallback — NaN is the convexity
-        # signal and the cholesky route would produce it too.
+        # Residual guard: instances whose inverse is inaccurate (kappa
+        # beyond what the recursion+Newton-Schulz handles in this dtype)
+        # are recomputed via cholesky — PER INSTANCE: passing instances
+        # keep their recursive-path inverse bit-for-bit, and the whole
+        # fallback branch is skipped (scalar cond) when nobody fails.
+        # NaN instances (non-PD) do NOT trigger the fallback — NaN is
+        # the convexity signal and the cholesky route would produce it
+        # too.
         R = jnp.eye(n, dtype=M.dtype) - jnp.einsum(
             "bij,bjk->bik", M, X, preferred_element_type=M.dtype,
             precision="highest",
         )
         resid = jnp.max(jnp.abs(R), axis=(-2, -1))
         tol = 1e-3 if M.dtype == jnp.float32 else 1e-8
-        bad = jnp.any(resid > tol)  # NaN > tol is False
-        Minv = jax.lax.cond(bad, _chol_inverse, lambda M_: X, M)
+        bad = resid > tol  # (B,); NaN > tol is False
+
+        def _fallback(ops):
+            M_, X_ = ops
+            # Failing instances route through cholesky; the rest are
+            # masked to the identity (whose factorization is exact) so
+            # no ill-conditioned panel pollutes them, then dropped by
+            # the select.
+            Mb = jnp.where(bad[:, None, None], M_, jnp.eye(n, dtype=M_.dtype))
+            return jnp.where(bad[:, None, None], _chol_inverse(Mb), X_)
+
+        Minv = jax.lax.cond(jnp.any(bad), _fallback, lambda ops: ops[1], (M, X))
     else:
         Minv = _chol_inverse(M) if n else M
     if A.shape[-2]:

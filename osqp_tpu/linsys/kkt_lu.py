@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..constants import ErrorCode, OSQPError
+
 
 def form_kkt(P, A, sigma, rho_inv_vec):
     """K as above, batched (B, n+m, n+m) (mirrors kkt.c:6-177 dense)."""
@@ -59,7 +61,8 @@ _MAX_KKT_DIM = 6144
 def init(P, A, sigma, rho_vec, **_):
     n, m = P.shape[-1], A.shape[-2]
     if n + m > _MAX_KKT_DIM:
-        raise ValueError(
+        raise OSQPError(
+            ErrorCode.DATA_VALIDATION_ERROR,
             f"kkt_lu: KKT dimension {n + m} exceeds the TPU batched-LU "
             f"limit ({_MAX_KKT_DIM}); use 'dense_chol' (SPD Schur), "
             "'cg' (matrix-free), or the sparse path (solve_sparse)"

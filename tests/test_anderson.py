@@ -111,3 +111,51 @@ def test_aa_setting_validated():
         Solver(P=P, q=q, A=A, l=l, u=u, anderson_memory=-1)
     with pytest.raises(con.OSQPError):
         Solver(P=P, q=q, A=A, l=l, u=u, anderson_memory=99)
+
+
+def test_aa_mixed_z_stays_in_box():
+    """The AA-mixed iterate's z block is clipped to [l, u] (scaled), so
+    the termination check's pri_res = ||Ax - z|| keeps its plain-ADMM
+    meaning: z box-feasible (advisor r2, medium)."""
+    import jax.numpy as jnp
+    from osqp_tpu import admm as admm_mod
+    from osqp_tpu.solver import Settings, make_config
+    from osqp_tpu.types import Iterates, QPData
+
+    B, n, m, mem = 2, 3, 4, 3
+    cfg = make_config(n, m, Settings(anderson_memory=mem), jnp.float64)
+    l = jnp.full((B, m), -0.5)
+    u = jnp.full((B, m), 0.5)
+    data = QPData(
+        P=jnp.eye(n)[None].repeat(B, 0), q=jnp.zeros((B, n)),
+        A=jnp.zeros((B, m, n)), l=l, u=u,
+    )
+    rng = np.random.default_rng(0)
+    aa = admm_mod._aa_fresh(B, n, m, mem, jnp.float64)
+    # Force a large extrapolation: history of big differences pointing
+    # the z block far outside the box.
+    big = jnp.asarray(rng.standard_normal((B, mem, n + 2 * m)) * 50.0)
+    aa = aa._replace(
+        dV=big, dF=big, count=jnp.full((B,), mem, jnp.int32),
+        seen=jnp.ones((B,), bool),
+        prev_v=jnp.asarray(rng.standard_normal((B, n + 2 * m))),
+        prev_f=jnp.asarray(rng.standard_normal((B, n + 2 * m))),
+    )
+    it = Iterates(
+        x=jnp.zeros((B, n)),
+        z=jnp.clip(jnp.asarray(rng.standard_normal((B, m))), l, u),
+        y=jnp.zeros((B, m)),
+    )
+    c = admm_mod.init_carry(
+        cfg, data,
+        admm_mod.set_rho_state(data, jnp.full((B,), 0.1)),
+        factor=None, iterates=it,
+    )._replace(aa=aa)
+    it_plain = Iterates(
+        x=jnp.asarray(rng.standard_normal((B, n))),
+        z=jnp.clip(jnp.asarray(rng.standard_normal((B, m)) * 2.0), l, u),
+        y=jnp.asarray(rng.standard_normal((B, m))),
+    )
+    _, mixed = admm_mod._anderson_mix(cfg, data, c, it_plain)
+    assert bool(jnp.all(mixed.z >= l - 1e-12))
+    assert bool(jnp.all(mixed.z <= u + 1e-12))

@@ -68,3 +68,31 @@ def test_compact_max_iter_instances():
         verbose=False, max_iter=30,
     )
     _compare(comp, plain)
+
+
+def test_compact_rejects_ell_operands():
+    """compact=True with ELL (sparse) operands must fail fast: the
+    gather-based compaction would silently corrupt the unbatched
+    sparsity-pattern leaves (advisor r2)."""
+    import pytest
+    import scipy.sparse as sp
+    from osqp_tpu import constants as con
+    from osqp_tpu.batch import _solve_segmented
+    from osqp_tpu.large import prepare_sparse
+
+    P = sp.eye(4, format="csr") * 2.0
+    A = sp.eye(4, format="csr")
+    q = np.ones(4)
+    l, u = -np.ones(4), np.ones(4)
+    s, dtype, cfg, dyn, P_ell, A_ell, q2, l2, u2 = prepare_sparse(
+        P, q, A, l, u, {}
+    )
+    import jax.numpy as jnp
+
+    rho0 = jnp.full((1,), s.rho, dtype)
+    with pytest.raises(con.OSQPError, match="compaction"):
+        _solve_segmented(
+            cfg, 0, False, 0, P_ell, jnp.asarray(q2, dtype), A_ell,
+            jnp.asarray(l2, dtype), jnp.asarray(u2, dtype), rho0, dyn,
+            None, None, compact=True,
+        )

@@ -66,8 +66,12 @@ def test_sigint_default_settings(monkeypatch):
 
 
 def test_sigint_solve_batch(monkeypatch):
-    """The batched API is interruptible too: KeyboardInterrupt between
-    segments finalizes still-active instances with OSQP_SIGINT."""
+    """On the batched polling path (any time limit set), a
+    KeyboardInterrupt between segments finalizes still-active instances
+    with OSQP_SIGINT.  (With NO time limit the batched driver fuses the
+    whole range into one device program for throughput — Ctrl-C then
+    propagates as KeyboardInterrupt like solve_batch_jit; see
+    test_segmented.test_batch_happy_path_single_dispatch.)"""
     import osqp_tpu.batch as batch_mod
 
     P, q, A, l, u = _problem()
@@ -86,7 +90,7 @@ def test_sigint_solve_batch(monkeypatch):
     monkeypatch.setattr(batch_mod, "_segment_c", interrupting_segment)
     res = batch_mod.solve_batch(
         Pb, qb, Ab, lb, ub, eps_abs=0.0, eps_rel=1e-18, max_iter=100000,
-        verbose=False,
+        verbose=False, time_limit=1e6,
     )
     assert int(res.status_val[0]) == con.OSQP_SIGINT
 

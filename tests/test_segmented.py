@@ -57,3 +57,54 @@ def test_time_limit_generous_still_solves():
     s = osqp_tpu.Solver(**problem(), verbose=False, time_limit=100.0)
     res = s.solve()
     assert res.info.status_val == con.OSQP_SOLVED
+
+
+def test_batch_happy_path_single_dispatch(monkeypatch):
+    """With no time limit the batched driver fuses the ENTIRE iteration
+    range into the first dispatch: the continuation machinery
+    (_segment_c, _finish_c) must never run, and no host poll of the
+    active mask happens (round-3 perf recovery; each poll costs a tunnel
+    round trip on real hardware)."""
+    import osqp_tpu.batch as batch_mod
+
+    d = problem()
+    Pb = np.asarray(d["P"].todense())
+    Pb = (Pb + Pb.T - np.diag(np.diag(Pb)))[None]
+    Ab = np.asarray(d["A"].todense())[None]
+
+    def fail(*a, **k):
+        raise AssertionError("continuation path used on the happy path")
+
+    monkeypatch.setattr(batch_mod, "_segment_c", fail)
+    monkeypatch.setattr(batch_mod, "_finish_c", fail)
+    res = batch_mod.solve_batch(
+        Pb, d["q"][None], Ab, d["l"][None], d["u"][None], verbose=False
+    )
+    assert int(res.status_val[0]) == con.OSQP_SOLVED
+
+
+def test_batch_time_limit_polls_early(monkeypatch):
+    """With a time limit the fused first segment shrinks to ONE polling
+    quantum so the clock is checked early (reference polls every
+    iteration, osqp.c:387-407) — not after 4 segments."""
+    import osqp_tpu.batch as batch_mod
+
+    d = problem()
+    Pb = np.asarray(d["P"].todense())
+    Pb = (Pb + Pb.T - np.diag(np.diag(Pb)))[None]
+    Ab = np.asarray(d["A"].todense())[None]
+
+    seen = []
+    real = batch_mod._start_c
+
+    def spy(cfg, *args):
+        seen.append(int(args[-1]))  # end1 (the fused first segment end)
+        return real(cfg, *args)
+
+    monkeypatch.setattr(batch_mod, "_start_c", spy)
+    batch_mod.solve_batch(
+        Pb, d["q"][None], Ab, d["l"][None], d["u"][None],
+        verbose=False, time_limit=1e6, max_iter=4000,
+        eps_abs=0.0, eps_rel=1e-18,
+    )
+    assert seen and seen[0] <= 100  # one quantum, not 400/max_iter

@@ -71,3 +71,41 @@ def test_dense_inv_residual_fallback_f32():
     np.testing.assert_array_equal(X, X_chol)
     X_rec = np.asarray(spd_inverse(P))
     assert np.abs(X_rec - X_chol).max() > 0.0  # branches truly differ
+
+
+def test_dense_inv_fallback_is_per_instance():
+    """One ill-conditioned instance in a batch must NOT change the
+    passing instances' factors: they keep the recursive-path inverse
+    bit-for-bit, proving only the failing instance routed through the
+    cholesky fallback (VERDICT r2 item 6)."""
+    from osqp_tpu.linsys import dense_inv
+    from osqp_tpu.linsys.dense_chol import form_schur
+
+    rng = np.random.default_rng(7)
+    n, B = 64, 4
+    mats = []
+    for i in range(B):
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        cond = 1e7 if i == 2 else 1e2  # instance 2 breaks the recursion
+        ev = np.logspace(0, np.log10(cond), n)
+        M = (Q * ev) @ Q.T
+        mats.append(0.5 * (M + M.T))
+    P = jnp.asarray(np.stack(mats), jnp.float32)
+    A = jnp.zeros((B, 0, n), jnp.float32)
+    rho = jnp.zeros((B, 0), jnp.float32)
+    sigma = jnp.float32(0.0)
+
+    factor = dense_inv.init(P, A, sigma, rho)
+    X = np.asarray(factor["Minv"])
+    assert np.isfinite(X).all()
+
+    M_schur = form_schur(P, A, sigma, rho)
+    X_rec = np.asarray(spd_inverse(M_schur))  # pure recursive path
+    X_chol = np.asarray(dense_inv._chol_inverse(M_schur))
+    good = [0, 1, 3]
+    # Good instances: bit-identical to the recursive path.
+    np.testing.assert_array_equal(X[good], X_rec[good])
+    # The bad instance: bit-identical to the cholesky route (and the two
+    # routes genuinely differ there, so the test can't pass vacuously).
+    assert np.abs(X_rec[2] - X_chol[2]).max() > 0.0
+    np.testing.assert_array_equal(X[2], X_chol[2])
