@@ -6,14 +6,13 @@ The reference reaches this regime through its CSC kernel + sparse LDL'
 sparse end-to-end: host CSR ingestion that never densifies, ELL operands
 on device (:mod:`osqp_tpu.sparse_ops`), matrix-free Ruiz scaling, and
 the Jacobi-preconditioned CG backend for the KKT solve.  The ADMM core,
-termination logic and infeasibility certificates are the SAME jitted
-code as the dense path — the operand type dispatches underneath
-(osqp_tpu.linalg.mat_vec / mat_tvec / quad_form).
+termination logic, infeasibility certificates AND polish are the SAME
+jitted code as the dense path — the operand type dispatches underneath
+(osqp_tpu.linalg.mat_vec / mat_tvec / quad_form; polish solves its
+reduced KKT matrix-free on ELL operands, polish.py:_make_kkt_solver).
 
 Restrictions vs the dense path (documented, enforced):
 * ``linsys_solver`` is always ``cg`` (matrix-free);
-* ``polish`` is unsupported (the reduced-KKT polish is a dense-operand
-  algorithm; the reference also treats polish as optional);
 * instance batching shares one sparsity pattern (scenario batches);
 * the factor-time convexity check is skipped — non-convexity surfaces
   as runtime divergence (OSQP_NON_CVX), the reference's second detection
@@ -22,22 +21,19 @@ Restrictions vs the dense path (documented, enforced):
 
 from __future__ import annotations
 
-import dataclasses
-import time
-
 import numpy as np
 import scipy.sparse as sp
 
 from . import constants as con
 from .batch import BatchSolveResults, _solve_segmented, make_config
 from .sparse_ops import ell_from_scipy
-from .solver import Info, Results, Settings, update_csc_values, validate_settings
+from .solver import Settings, Solver, validate_settings
 from .types import DynSettings
 
 
 def prepare_sparse(P, q, A, l, u, settings: dict):
-    """Shared sparse-entry preparation: settings validation (cg-only,
-    polish rejected), dtype resolution, ELL operand construction, and
+    """Shared sparse-entry preparation: settings validation (cg-only),
+    dtype resolution, ELL operand construction, and
     the static/dynamic configs.  Used by :func:`solve_sparse` and the
     mesh-sharded entry (parallel/intra.py) so the contract lives in one
     place.  Returns (s, dtype, cfg, dyn, P_ell, A_ell, q2d, l2d, u2d)
@@ -52,11 +48,6 @@ def prepare_sparse(P, q, A, l, u, settings: dict):
         raise con.OSQPError(
             con.ErrorCode.SETTINGS_VALIDATION_ERROR,
             "the sparse path supports only the matrix-free 'cg' backend",
-        )
-    if s.polish:
-        raise con.OSQPError(
-            con.ErrorCode.SETTINGS_VALIDATION_ERROR,
-            "polish is not supported on the sparse path",
         )
 
     q = np.atleast_2d(np.asarray(q, np.float64))
@@ -108,7 +99,8 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
       A: scipy sparse (m, n).
       l, u: (m,) or (B, m).
       settings: reference setting names; ``linsys_solver`` must be
-        ``"cg"`` (default here) and ``polish`` False.
+        ``"cg"`` (default here).  ``polish=True`` refines via the
+        matrix-free reduced-KKT CG (polish.c:212-350 semantics).
 
     Returns :class:`BatchSolveResults` (B = 1 for 1-D inputs).
     """
@@ -135,7 +127,7 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
         )
 
     return _solve_segmented(
-        cfg, int(s.scaling), False, 0,
+        cfg, int(s.scaling), bool(s.polish), int(s.polish_refine_iter),
         P_ell, jnp.asarray(q, dtype), A_ell,
         jnp.asarray(l, dtype), jnp.asarray(u, dtype),
         rho0, dyn, x0, y0,
@@ -144,231 +136,115 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
 
 
 # ---------------------------------------------------------------------------
-# Stateful Solver-style API over the sparse path
+# Stateful, device-resident Solver API over the sparse path
 # ---------------------------------------------------------------------------
-class SparseSolver:
-    """Solver-compatible stateful API for large sparse QPs.
+from functools import partial as _partial
 
-    The familiar lifecycle (osqp.c:76-283 setup, update_* entry points,
-    warm starting across re-solves) over :func:`solve_sparse`.  There is
-    no cached factorization to preserve — the cg backend's only
-    per-solve state is the Jacobi diagonal, rebuilt from the (possibly
-    updated) values each solve — so updates are host-side O(nnz) value
-    edits on the stored CSC pattern with the reference's indexed-update
-    semantics (osqp.c:1012-1279), and each ``solve()`` re-enters the
-    jitted path (one compile per shape; re-solves reuse it).
+import jax as _jax
 
-    Same restrictions as :func:`solve_sparse`: cg backend, no polish.
+
+@_partial(_jax.jit, static_argnames=("cfg", "scaling_iters"))
+def _device_setup_sparse(cfg, scaling_iters, P, q, A, l, u, rho, dyn):
+    """Sparse analogue of solver._device_setup: scale + classify rho +
+    cg-init (osqp.c:192-215) on ELL operands.  No factor-time convexity
+    check — the cg backend has no factorization; non-convexity surfaces
+    through the runtime divergence path (auxil.c:699-706), the
+    reference's second detection mechanism."""
+    from .linalg import with_high_precision
+    from .scaling import scale_data
+    from .admm import set_rho_state
+    from . import linsys as linsys_registry
+    from .types import QPData, ScalingData
+
+    @with_high_precision
+    def run():
+        data = QPData(P=P, q=q, A=A, l=l, u=u)
+        B, n = q.shape
+        if scaling_iters > 0:
+            scaled, scl = scale_data(data, scaling_iters)
+        else:
+            scaled, scl = data, ScalingData.identity(B, n, cfg.m, q.dtype)
+        rho_state = set_rho_state(scaled, rho)
+        factor = linsys_registry.init_factor(
+            cfg, scaled.P, scaled.A, dyn.sigma, rho_state.rho_vec
+        )
+        return scaled, scl, rho_state, factor
+
+    return run()
+
+
+class SparseSolver(Solver):
+    """Device-resident stateful solver for large sparse QPs.
+
+    The full :class:`~osqp_tpu.solver.Solver` lifecycle and API surface
+    (setup / solve / update_* / warm_start / settings setters,
+    osqp.c:76-283 + 765-1617) over ELL operands that STAY on device
+    across solves — the reference's parametric loop (update values in
+    place, re-solve warm-started, osqp.c:765-1279) without host
+    round-trips:
+
+    * the ELL sparsity pattern and the CSC-nnz -> ELL-slot gather maps
+      are built once at setup (sparse_ops.ell_value_maps — the analogue
+      of the reference's PtoKKT/AtoKKT index maps, kkt.c:184-212);
+    * ``update_P`` / ``update_A`` edit the host CSC values (indexed
+      semantics, osqp.c:1031-1062), upload O(nnz) raw values, and
+      re-assemble the device operands by gather — no scipy pattern work;
+    * rescaling and the cg re-init run on device (the tail of
+      osqp_update_P, osqp.c:1066-1075);
+    * iterates persist on device between solves (warm starting), and
+      polish (matrix-free reduced-KKT CG) writes back into them.
+
+    Restrictions: ``linsys_solver`` must be ``"cg"`` (matrix-free); AOT
+    ``export`` is dense-path only.
     """
 
-    def __init__(self, P=None, q=None, A=None, l=None, u=None, **settings):
-        self._is_setup = False
-        if P is not None or q is not None:
-            self.setup(P=P, q=q, A=A, l=l, u=u, **settings)
-
+    # -- lifecycle ---------------------------------------------------------
     def setup(self, P=None, q=None, A=None, l=None, u=None, **settings):
-        from .sparse import validate_problem
-
-        t0 = time.perf_counter()
         settings.setdefault("linsys_solver", "cg")
-        unknown = set(settings) - {f.name for f in dataclasses.fields(Settings)}
-        if unknown:
-            raise con.OSQPError(
-                con.ErrorCode.SETTINGS_VALIDATION_ERROR,
-                f"unknown settings: {sorted(unknown)}",
-            )
-        self.settings = Settings(**settings)
-        validate_settings(self.settings)
-        if self.settings.linsys_solver != "cg":
+        if settings["linsys_solver"] != "cg":
             raise con.OSQPError(
                 con.ErrorCode.SETTINGS_VALIDATION_ERROR,
                 "SparseSolver supports only the matrix-free 'cg' backend",
             )
-        if self.settings.polish:
-            raise con.OSQPError(
-                con.ErrorCode.SETTINGS_VALIDATION_ERROR,
-                "polish is not supported on the sparse path",
-            )
-        # Canonical host data; triu-CSC P / CSC A keep the patterns the
-        # reference's indexed updates address (osqp.c:1031-1062).
-        Pu, qv, Ac, lv, uv, n, m = validate_problem(P, q, A, l, u)
-        self._Pu, self._Ac = Pu, Ac
-        self._q, self._l, self._u = qv, lv, uv
-        self.n, self.m = n, m
-        self._x0 = self._y0 = None
-        self.info = Info(rho_estimate=float(self.settings.rho))
-        self.info.setup_time = time.perf_counter() - t0
-        self._is_setup = True
-        if self.settings.verbose:
-            from .utils.printing import print_setup_header
+        self._patterns = None  # rebuilt in _push_data_and_factor
+        return super().setup(P=P, q=q, A=A, l=l, u=u, **settings)
 
-            print_setup_header(self)
-        return self
-
-    def _require_setup(self):
-        if not self._is_setup:
-            raise con.OSQPError(
-                con.ErrorCode.WORKSPACE_NOT_INIT_ERROR,
-                "Workspace not initialized",
-            )
-
-    # -- lifecycle ---------------------------------------------------------
-    def solve(self) -> Results:
-        self._require_setup()
-        t0 = time.perf_counter()
-        kw = {
-            f.name: getattr(self.settings, f.name)
-            for f in dataclasses.fields(Settings)
-        }
-        x0 = y0 = None
-        if self.settings.warm_start and (
-            self._x0 is not None or self._y0 is not None
-        ):
-            x0, y0 = self._x0, self._y0
-        res = solve_sparse(
-            self._Pu, self._q, self._Ac, self._l, self._u, x0=x0, y0=y0, **kw
-        )
-        sv = int(np.asarray(res.status_val)[0])
-        self.info.status_val = sv
-        self.info.status = con.STATUS_MESSAGE.get(sv, "?")
-        self.info.iter = int(np.asarray(res.iter)[0])
-        self.info.obj_val = float(np.asarray(res.obj_val)[0])
-        self.info.pri_res = float(np.asarray(res.pri_res)[0])
-        self.info.dua_res = float(np.asarray(res.dua_res)[0])
-        self.info.rho_updates = int(np.asarray(res.rho_updates)[0])
-        self.info.rho_estimate = float(np.asarray(res.rho_estimate)[0])
-        self.info.solve_time = time.perf_counter() - t0
-        self.info.run_time = self.info.setup_time + self.info.update_time + self.info.solve_time
-        if self.settings.verbose:
-            from .utils.printing import print_summary_footer
-
-            # per-iteration rows are not printed on the sparse path
-            print_summary_footer(self)
-        x = np.asarray(res.x)[0]
-        y = np.asarray(res.y)[0]
-        if self.settings.warm_start and sv in (
-            con.OSQP_SOLVED,
-            con.OSQP_SOLVED_INACCURATE,
-            con.OSQP_MAX_ITER_REACHED,
-        ):
-            self._x0, self._y0 = x.copy(), y.copy()
-        pinf = sv in (con.OSQP_PRIMAL_INFEASIBLE,
-                      con.OSQP_PRIMAL_INFEASIBLE_INACCURATE)
-        dinf = sv in (con.OSQP_DUAL_INFEASIBLE,
-                      con.OSQP_DUAL_INFEASIBLE_INACCURATE)
-        return Results(
-            x=x if not (pinf or dinf) else np.full(self.n, np.nan),
-            y=y if not (pinf or dinf) else np.full(self.m, np.nan),
-            prim_inf_cert=np.asarray(res.prim_inf_cert)[0] if pinf else None,
-            dual_inf_cert=np.asarray(res.dual_inf_cert)[0] if dinf else None,
-            info=self.info,
+    def _push_data_and_factor(self, rho: float):
+        """Sparse override of the (re)upload+rescale+refactor tail
+        (osqp.c:1048-1075): values-only upload through the slot maps;
+        pattern work happens exactly once."""
+        from .sparse_ops import (
+            ell_pattern_from_scipy,
+            ell_value_maps,
+            ell_with_values,
         )
 
-    def warm_start(self, x=None, y=None):
-        """osqp_warm_start (osqp.c:1399-1441)."""
-        self._require_setup()
-        if x is not None:
-            self._x0 = np.asarray(x, np.float64).reshape(self.n)
-        if y is not None:
-            self._y0 = np.asarray(y, np.float64).reshape(self.m)
-
-    # -- data updates (host O(nnz); next solve picks them up) --------------
-    def _tick_update(self, t0):
-        self.info.update_time += time.perf_counter() - t0
-
-    def update_lin_cost(self, q_new):
-        self._require_setup()
-        t0 = time.perf_counter()
-        self._q = np.asarray(q_new, np.float64).reshape(self.n)
-        self._tick_update(t0)
-
-    def update_bounds(self, l=None, u=None):
-        from .sparse import clamp_bounds
-
-        self._require_setup()
-        t0 = time.perf_counter()
-        l_new = clamp_bounds(l).reshape(self.m) if l is not None else self._l
-        u_new = clamp_bounds(u).reshape(self.m) if u is not None else self._u
-        if np.any(l_new > u_new):
-            raise con.OSQPError(
-                con.ErrorCode.DATA_VALIDATION_ERROR,
-                "lower bound must be lower than or equal to upper bound",
+        dt = self._dtype
+        if self._patterns is None:
+            self._patterns = (
+                ell_pattern_from_scipy(self._Pu, sym_from_triu=True),
+                ell_value_maps(self._Pu, sym_from_triu=True),
+                ell_pattern_from_scipy(self._Ac),
+                ell_value_maps(self._Ac),
             )
-        self._l, self._u = l_new, u_new
-        self._tick_update(t0)
+        (Pp, Pm, Ap, Am) = self._patterns
+        P_ell = ell_with_values(*Pp, *Pm, self._Pu.data, dt)
+        A_ell = ell_with_values(*Ap, *Am, self._Ac.data, dt)
+        import jax.numpy as jnp
 
-    def update_lower_bound(self, l_new):
-        self.update_bounds(l=l_new)
+        to = lambda a: jnp.asarray(a, dt)[None]
+        scaled, scl, rho_state, factor = _device_setup_sparse(
+            self._cfg, int(self.settings.scaling),
+            P_ell, to(self._q), A_ell, to(self._l), to(self._u),
+            jnp.full((1,), rho, dt), self._dyn,
+        )
+        self.data = scaled
+        self.scaling = scl
+        self.rho_state = rho_state
+        self.factor = factor
 
-    def update_upper_bound(self, u_new):
-        self.update_bounds(u=u_new)
-
-    def update_P(self, Px=None, Px_idx=None, **_):
-        """osqp_update_P (osqp.c:1012-1090): values on the triu pattern."""
-        self._require_setup()
-        t0 = time.perf_counter()
-        update_csc_values(self._Pu, Px, Px_idx, "P")
-        self._tick_update(t0)
-
-    def update_A(self, Ax=None, Ax_idx=None, **_):
-        """osqp_update_A (osqp.c:1092-1169)."""
-        self._require_setup()
-        t0 = time.perf_counter()
-        update_csc_values(self._Ac, Ax, Ax_idx, "A")
-        self._tick_update(t0)
-
-    def update_P_A(self, Px=None, Px_idx=None, Ax=None, Ax_idx=None):
-        if Px is not None:
-            self.update_P(Px, Px_idx)
-        if Ax is not None:
-            self.update_A(Ax, Ax_idx)
-
-    def update_rho(self, rho_new):
-        self._require_setup()
-        if not rho_new > 0:
-            raise con.OSQPError(
-                con.ErrorCode.SETTINGS_VALIDATION_ERROR, "rho must be positive"
-            )
-        self.settings = dataclasses.replace(self.settings, rho=float(rho_new))
-
-    # -- settings setters (reference osqp_update_* surface) ----------------
-    def _set(self, **kw):
-        self._require_setup()
-        candidate = dataclasses.replace(self.settings, **kw)
-        validate_settings(candidate)  # reject BEFORE mutating state
-        self.settings = candidate
-
-    def update_max_iter(self, v):
-        self._set(max_iter=int(v))
-
-    def update_eps_abs(self, v):
-        self._set(eps_abs=float(v))
-
-    def update_eps_rel(self, v):
-        self._set(eps_rel=float(v))
-
-    def update_eps_prim_inf(self, v):
-        self._set(eps_prim_inf=float(v))
-
-    def update_eps_dual_inf(self, v):
-        self._set(eps_dual_inf=float(v))
-
-    def update_alpha(self, v):
-        self._set(alpha=float(v))
-
-    def update_verbose(self, v):
-        self._set(verbose=bool(v))
-
-    def update_scaled_termination(self, v):
-        self._set(scaled_termination=bool(v))
-
-    def update_check_termination(self, v):
-        self._set(check_termination=int(v))
-
-    def update_warm_start(self, v):
-        self._set(warm_start=bool(v))
-        if not v:
-            self._x0 = self._y0 = None
-
-    def update_time_limit(self, v):
-        self._set(time_limit=float(v))
+    def export(self, path=None, B: int = 1) -> bytes:
+        raise con.OSQPError(
+            con.ErrorCode.DATA_VALIDATION_ERROR,
+            "AOT export is supported on the dense path only",
+        )

@@ -54,8 +54,83 @@ from .types import DynSettings, QPData, ScalingData, StaticConfig
 _SCHUR_KKT_DIM = 2048
 
 
+def _pcg(matvec, b, dinv, tol_rel, max_iter):
+    """Batched Jacobi-preconditioned CG for the polish Schur system.
+
+    Same loop shape as linsys/cg.py (converged instances freeze via
+    alpha = 0); lives here because the polish operator and stopping rule
+    are its own: fixed relative tolerance, iteration cap ``max_iter``."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = dinv * r
+    p = z
+    rz = jnp.sum(r * z, axis=-1)
+    tol2 = jnp.maximum(
+        (tol_rel * jnp.linalg.norm(b, axis=-1)) ** 2,
+        jnp.asarray(1e-30, b.dtype),
+    )
+
+    def cond(carry):
+        k, _, r, *_ = carry
+        return (k < max_iter) & jnp.any(jnp.sum(r * r, axis=-1) > tol2)
+
+    def body(carry):
+        k, x, r, z, p, rz = carry
+        Mp = matvec(p)
+        denom = jnp.sum(p * Mp, axis=-1)
+        alpha = rz / jnp.where(denom > 0, denom, 1.0)
+        alpha = jnp.where(jnp.sum(r * r, axis=-1) > tol2, alpha, 0.0)[:, None]
+        x = x + alpha * p
+        r = r - alpha * Mp
+        z = dinv * r
+        rz_new = jnp.sum(r * z, axis=-1)
+        beta = (rz_new / jnp.where(rz > 0, rz, 1.0))[:, None]
+        p = z + beta * p
+        return (k + 1, x, r, z, p, rz_new)
+
+    k0 = jnp.asarray(0, jnp.int32)
+    _, x, *_ = jax.lax.while_loop(cond, body, (k0, x, r, z, p, rz))
+    return x
+
+
 def _make_kkt_solver(n: int, m: int, P, MA, delta, dtype):
     """Returns solve(rhs (B, n+m)) -> (B, n+m) applying K_delta^-1."""
+    from .sparse_ops import ELLMatrix, ell_diagonal, ell_sq_colsums
+
+    if isinstance(P, ELLMatrix):
+        # Sparse/ELL operands (the solve_sparse / SparseSolver path):
+        # the same block elimination as the dense Schur branch below —
+        #   S sx = r_x + (1/d)(MA)' r_z,   snu = ((MA) sx - r_z) / d,
+        #   S = P + d I + (1/d)(MA)'(MA)
+        # — but S is never materialized: Jacobi-preconditioned CG using
+        # the gather-only ELL products (matrix-free, like the cg linsys
+        # backend the sparse path already runs on).  The reference
+        # polishes every problem its sparse LDL can load
+        # (src/polish.c:212-350); this closes the same gap at n = 1e4+.
+        d_eff = delta if dtype == jnp.float64 else jnp.maximum(
+            jnp.asarray(delta, dtype), jnp.asarray(1e-4, dtype)
+        )
+        ones_m = jnp.ones(MA.val.shape[:2], dtype)
+        diagS = ell_diagonal(P) + d_eff + ell_sq_colsums(MA, ones_m) / d_eff
+        dinv = 1.0 / diagS
+        tol_rel = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-7, dtype)
+        cg_iters = jnp.asarray(min(4 * (n + m), 4000), jnp.int32)
+
+        def matvec_S(v):
+            out = mat_vec(P, v) + d_eff * v
+            if m:
+                out = out + mat_tvec(MA, mat_vec(MA, v)) / d_eff
+            return out
+
+        def solve(rhs):
+            r_x, r_z = rhs[..., :n], rhs[..., n:]
+            t = r_x + (mat_tvec(MA, r_z) / d_eff if m else 0.0)
+            sx = _pcg(matvec_S, t, dinv, tol_rel, cg_iters)
+            snu = (mat_vec(MA, sx) - r_z) / d_eff
+            return jnp.concatenate([sx, snu], axis=-1)
+
+        return solve
+
     if n + m <= _SCHUR_KKT_DIM:
         delta_vec = jnp.full(MA.shape[:-1], delta, dtype)
         factor = kkt_lu._lu_factor(kkt_lu.form_kkt(P, MA, delta, delta_vec))
@@ -122,7 +197,14 @@ def polish(
     active = lower | upper
     mask = active.astype(dtype)  # (B, m)
 
-    MA = mask[:, :, None] * data.A
+    from .sparse_ops import ELLMatrix, ell_scale
+
+    if isinstance(data.A, ELLMatrix):
+        # Row-masking an ELL operand = scaling its rows (and the
+        # transpose copy's gathered columns); the pattern is untouched.
+        MA = ell_scale(data.A, mask, jnp.ones((B, n), dtype))
+    else:
+        MA = mask[:, :, None] * data.A
 
     # K_delta = [P + delta I, (MA)'; MA, -delta I] with param1 = param2
     # = delta (qdldl_interface.c:261-267); LU or Schur by KKT dim.

@@ -38,7 +38,7 @@ from .linsys import cg as _cg_backend
 from . import admm as admm_mod
 from .admm import set_rho_state, update_rho_state
 from .constants import ErrorCode, OSQPError
-from .linalg import with_high_precision
+from .linalg import mat_vec, with_high_precision
 from .polish import polish as polish_fn
 from .scaling import scale_data, unscale_solution
 from .sparse import clamp_bounds, triu_to_full, validate_problem
@@ -578,7 +578,7 @@ class Solver:
         if x is not None:
             x = np.asarray(x, np.float64).reshape(self.n)
             xs = jnp.asarray(x, self._dtype)[None] * self.scaling.Dinv
-            zs = jnp.einsum("bmn,bn->bm", self.data.A, xs, precision="highest")
+            zs = mat_vec(self.data.A, xs)  # z = A x (osqp.c:960)
             it = Iterates(x=xs, z=zs, y=it.y)
         if y is not None:
             y = np.asarray(y, np.float64).reshape(self.m)

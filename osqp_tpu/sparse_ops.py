@@ -173,3 +173,71 @@ def ell_scale(A: ELLMatrix, row_s, col_s, c=None) -> ELLMatrix:
         t_val = t_val * c[:, None, None]
     return ELLMatrix(val=val, idx=A.idx, t_val=t_val, t_idx=A.t_idx,
                      shape=A.shape)
+
+
+# ---------------------------------------------------------------------------
+# Value maps: CSC nnz index -> ELL slot (device-resident updates)
+# ---------------------------------------------------------------------------
+def _tag_matrix(M):
+    """Copy of ``M`` whose data are 1-based nnz indices (tags)."""
+    T = M.copy()
+    T.data = np.arange(1, M.nnz + 1, dtype=np.float64)
+    return T
+
+
+def ell_value_maps(M, sym_from_triu: bool = False):
+    """Host-side gather maps from a CSC/CSR matrix's nnz order into ELL
+    slots, so new values scatter onto the device operand WITHOUT
+    rebuilding the pattern (the reference's in-place numeric update,
+    osqp.c:1052-1062 + update_KKT_P/A maps, kkt.c:184-212).
+
+    Returns ``(src (m, k) int32, t_src (n, kt) int32)`` with -1 in
+    padding slots, such that for values ``v`` (in ``M.data`` order)
+
+        val[i, s]   = v[src[i, s]]    (0 where src < 0)
+        t_val[j, s] = v[t_src[j, s]]  (0 where t_src < 0)
+
+    reproduces ``ell_from_scipy(M_with_values)`` exactly: the tag
+    matrix is pushed through the SAME structural pipeline (csr
+    conversion, triu symmetrization, transpose), and those scipy ops
+    order the result by pattern only.  ``sym_from_triu`` mirrors each
+    off-diagonal triu entry into both symmetric slots (one shared
+    source index).
+    """
+    T = sp.csr_matrix(_tag_matrix(M))
+    if sym_from_triu:
+        U = sp.triu(T, format="csr")
+        # diagonal tags survive exactly: t + t - t = t
+        T = (U + U.T - sp.diags(U.diagonal())).tocsr()
+    idx_t, val_t = _to_ell_rows(T)
+    t_idx_t, t_val_t = _to_ell_rows(T.T.tocsr())
+    src = np.rint(val_t).astype(np.int32) - 1
+    t_src = np.rint(t_val_t).astype(np.int32) - 1
+    return src, t_src
+
+
+def ell_pattern_from_scipy(M, sym_from_triu: bool = False):
+    """The unbatched integer pattern (idx, t_idx, shape) that
+    ``ell_from_scipy`` would produce — paired with :func:`ell_value_maps`
+    for device-resident value updates."""
+    M = sp.csr_matrix(M)
+    if sym_from_triu:
+        U = sp.triu(M, format="csr")
+        M = (U + U.T - sp.diags(U.diagonal())).tocsr()
+    idx, _ = _to_ell_rows(M)
+    t_idx, _ = _to_ell_rows(M.T.tocsr())
+    return idx, t_idx, tuple(M.shape)
+
+
+def ell_with_values(idx, t_idx, shape, src, t_src, values, dtype, batch=1):
+    """Device-side: assemble an :class:`ELLMatrix` by gathering
+    ``values`` (1-D, CSC nnz order) through the maps.  O(nnz) gathers,
+    no host pattern work — the device-resident update path."""
+    v = jnp.asarray(values, dtype)
+    val = jnp.where(src >= 0, v[jnp.clip(src, 0)], 0)
+    t_val = jnp.where(t_src >= 0, v[jnp.clip(t_src, 0)], 0)
+    to = lambda a: jnp.broadcast_to(a[None], (batch,) + a.shape)
+    return ELLMatrix(
+        val=to(val), idx=jnp.asarray(idx),
+        t_val=to(t_val), t_idx=jnp.asarray(t_idx), shape=shape,
+    )

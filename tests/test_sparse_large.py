@@ -234,3 +234,152 @@ class TestSparseSolver:
         with pytest.raises(osqp_tpu.OSQPError):
             s.update_rho(0.0)
         assert s.solve().info.status == "solved"
+
+
+def test_sparse_polish_matches_dense_polish():
+    """polish=True on the sparse path (matrix-free reduced-KKT CG,
+    polish.py:_make_kkt_solver ELL branch) must reach the same refined
+    solution as the dense polish on a problem both paths can solve
+    (src/polish.c:212-350 parity)."""
+    P, q, A, l, u = _rand_sparse_qp(40, 60, 0.2, seed=11)
+    r_dense = osqp_tpu.Solver(
+        P=P, q=q, A=A, l=l, u=u, polish=True, verbose=False
+    ).solve()
+    assert r_dense.info.status_polish == 1
+    r_sparse = solve_sparse(P, q, A, l, u, polish=True, verbose=False)
+    assert int(r_sparse.status_polish[0]) == 1
+    np.testing.assert_allclose(
+        np.asarray(r_sparse.x)[0], r_dense.x, atol=TESTS_TOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_sparse.y)[0], r_dense.y, atol=TESTS_TOL
+    )
+    # Polished residuals beat the unpolished ADMM solve's.
+    r_plain = solve_sparse(P, q, A, l, u, polish=False, verbose=False)
+    assert float(r_sparse.pri_res[0]) <= float(r_plain.pri_res[0]) + 1e-15
+    assert float(r_sparse.dua_res[0]) <= float(r_plain.dua_res[0])
+
+
+def test_sparse_polish_banded_medium():
+    """A banded n=2000 problem (LISWET-class structure): sparse polish
+    succeeds and tightens residuals by orders of magnitude."""
+    n = 2000
+    main = 2.0 * np.ones(n)
+    off = -1.0 * np.ones(n - 1)
+    P = sp.diags([off, main, off], [-1, 0, 1], format="csc") + 0.1 * sp.eye(n)
+    A = sp.diags([np.ones(n - 1), -2 * np.ones(n - 1)],
+                 [0, 1], shape=(n - 1, n), format="csc")
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal(n)
+    x0 = rng.standard_normal(n)
+    Ax = np.asarray(A @ x0).ravel()
+    s = np.abs(rng.standard_normal(n - 1)) + 0.1
+    l, u = Ax - s, Ax + s
+    res = solve_sparse(P, q, A, l, u, polish=True, verbose=False)
+    assert int(res.status_val[0]) == con.OSQP_SOLVED
+    assert int(res.status_polish[0]) == 1
+    chk = kkt_check(
+        P, q, A, l, u, np.asarray(res.x)[0], np.asarray(res.y)[0],
+        eps_abs=1e-6, eps_rel=1e-6,
+    )
+    assert chk["ok"], chk
+
+
+class TestSparseSolverDeviceResident:
+    """Round-3 redesign: ELL operands/scaling/iterates stay on device
+    across solves; updates scatter values through the slot maps
+    (osqp.c:765-1279 parametric-loop semantics)."""
+
+    def _problem(self, n=60, seed=3):
+        rng = np.random.default_rng(seed)
+        P = sp.diags(np.abs(rng.standard_normal(n)) + 1.0).tocsc()
+        A = sp.vstack([sp.eye(n),
+                       sp.diags([1.0] * (n - 1), 1).tocsr()[: n - 1]]).tocsc()
+        q = rng.standard_normal(n)
+        m = A.shape[0]
+        return P, q, A, -np.ones(m), np.ones(m)
+
+    def test_pattern_built_once(self, monkeypatch):
+        """update_P / update_A / update_bounds must NOT redo host
+        pattern work (the round-2 critique: every solve rebuilt ELL
+        operands from scipy)."""
+        import osqp_tpu.sparse_ops as so
+
+        P, q, A, l, u = self._problem()
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
+        s.solve()
+
+        def boom(*a, **k):
+            raise AssertionError("host ELL pattern rebuild after setup")
+
+        monkeypatch.setattr(so, "ell_pattern_from_scipy", boom)
+        monkeypatch.setattr(so, "ell_value_maps", boom)
+        monkeypatch.setattr(so, "ell_from_scipy", boom)
+        s.update_P(Px=s._Pu.data * 1.5)
+        s.update_lin_cost(-q)
+        s.update_bounds(l=l - 0.5, u=u + 0.5)
+        r = s.solve()
+        assert r.info.status == "solved"
+
+    def test_update_equivalence_vs_fresh(self):
+        """K updates x re-solve lands exactly where a fresh setup on the
+        final data lands (same scaled pipeline, reference
+        update-then-solve equivalence)."""
+        P, q, A, l, u = self._problem()
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                                  warm_start=False)
+        s.solve()
+        for k in range(3):
+            # q first, P second: update_P rescales everything from
+            # scratch (osqp.c:1066), so the final scaled problem is
+            # identical to a fresh setup on the final data; an
+            # update_lin_cost AFTER the last update_P would instead be
+            # scaled by the existing Ruiz factors (osqp.c:765-795) —
+            # reference semantics, but not fresh-setup-identical.
+            s.update_lin_cost(q * (0.5 + k))
+            s.update_P(Px=s._Pu.data * 1.1)
+            s.solve()
+        fresh = osqp_tpu.SparseSolver(
+            P=sp.csc_matrix(sp.triu(s._Pu)), q=q * 2.5, A=A, l=l, u=u,
+            verbose=False, warm_start=False,
+        )
+        rf = fresh.solve()
+        rs = s.solve()
+        assert rs.info.iter == rf.info.iter  # identical trajectory
+        np.testing.assert_allclose(rs.x, rf.x, atol=1e-12)
+
+    def test_polish_on_sparse_solver(self):
+        P, q, A, l, u = self._problem()
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                                  polish=True)
+        r = s.solve()
+        assert r.info.status == "solved"
+        assert r.info.status_polish == 1
+        # polish wrote back into the device iterates: warm re-solve
+        # terminates at the first check (polish.c:323-327 "NB: z needed
+        # for warm starting")
+        s.update_check_termination(1)
+        assert s.solve().info.iter == 1
+
+    def test_indexed_updates_device_path(self):
+        """Indexed nnz updates (osqp.c:1031-1062) flow through the
+        gather maps to the device operand."""
+        P, q, A, l, u = self._problem(n=20)
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                                  warm_start=False)
+        s.solve()
+        idx = np.array([0, 3, 7])
+        s.update_P(Px=np.full(3, 9.0), Px_idx=idx)
+        assert np.allclose(s._Pu.data[idx], 9.0)
+        r = s.solve()
+        assert r.info.status == "solved"
+        fresh = osqp_tpu.solve_sparse(
+            sp.csc_matrix(sp.triu(s._Pu)), q, A, l, u, verbose=False
+        )
+        np.testing.assert_allclose(r.x, np.asarray(fresh.x)[0], atol=1e-10)
+
+    def test_export_rejected(self):
+        P, q, A, l, u = self._problem(n=10)
+        s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
+        with pytest.raises(osqp_tpu.OSQPError):
+            s.export()
