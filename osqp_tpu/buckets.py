@@ -102,6 +102,7 @@ class ProblemResult:
     m: int
     prim_inf_cert: np.ndarray | None = None  # set on primal-infeasible exits
     dual_inf_cert: np.ndarray | None = None  # set on dual-infeasible exits
+    status_polish: int = 0  # polish.c outcome: 0 not run, 1 success, -1 failed
 
 
 def pad_problem(P, q, A, l, u, N: int, M: int):
@@ -210,6 +211,7 @@ def _solve_bucket(N, M, items, results, settings):
     dua = np.asarray(res.dua_res)
     pic = np.asarray(res.prim_inf_cert)
     dic = np.asarray(res.dual_inf_cert)
+    spol = np.asarray(res.status_polish)
     _PINF = (OSQP_PRIMAL_INFEASIBLE, OSQP_PRIMAL_INFEASIBLE_INACCURATE)
     _DINF = (OSQP_DUAL_INFEASIBLE, OSQP_DUAL_INFEASIBLE_INACCURATE)
     for b, (idx, name, Pd, q, Ad, l, u) in enumerate(items):
@@ -227,4 +229,5 @@ def _solve_bucket(N, M, items, results, settings):
             m=m,
             prim_inf_cert=pic[b, :m] if int(sv[b]) in _PINF else None,
             dual_inf_cert=dic[b, :n] if int(sv[b]) in _DINF else None,
+            status_polish=int(spol[b]),
         )

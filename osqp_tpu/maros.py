@@ -55,14 +55,12 @@ SPARSE_N_CUTOFF = 4096
 
 
 def _solve_one_sparse(qp, settings):
-    """One large problem through the never-densifying path (polish is
-    unsupported there; the reference also treats polish as optional)."""
+    """One large problem through the never-densifying path (polish runs
+    matrix-free there since round 3, polish.py:_make_kkt_solver)."""
     from .large import solve_sparse
 
-    sp_settings = {k: v for k, v in settings.items() if k != "polish"}
     t = time.perf_counter()
-    res = solve_sparse(qp.P, qp.q, qp.A, qp.l, qp.u, polish=False,
-                       **sp_settings)
+    res = solve_sparse(qp.P, qp.q, qp.A, qp.l, qp.u, **settings)
     sv = int(np.asarray(res.status_val)[0])
     return dict(
         name=qp.name,
@@ -74,6 +72,7 @@ def _solve_one_sparse(qp, settings):
         obj=float(np.asarray(res.obj_val)[0]) + qp.obj_constant,
         pri_res=float(np.asarray(res.pri_res)[0]),
         dua_res=float(np.asarray(res.dua_res)[0]),
+        status_polish=int(np.asarray(res.status_polish)[0]),
         time=time.perf_counter() - t,
         sparse=True,
     )
@@ -143,6 +142,7 @@ def run_maros(
                     obj=r.info.obj_val + qp.obj_constant,
                     pri_res=r.info.pri_res,
                     dua_res=r.info.dua_res,
+                    status_polish=r.info.status_polish,
                     time=time.perf_counter() - t,
                 )
             )
@@ -176,6 +176,7 @@ def run_maros(
                         obj=r.obj_val + qp.obj_constant,
                         pri_res=r.pri_res,
                         dua_res=r.dua_res,
+                        status_polish=r.status_polish,
                         time=float("nan"),
                     )
                 )
@@ -233,6 +234,7 @@ def run_maros(
                     obj=rr.obj_val + qp.obj_constant,
                     pri_res=rr.pri_res,
                     dua_res=rr.dua_res,
+                    status_polish=rr.status_polish,
                     fallback=True,
                 )
 
@@ -260,6 +262,9 @@ def run_maros(
         solved=solved,
         final=finished,
         pass_rate=finished / max(len(rows), 1),
+        # polish observability (src/polish.c outcomes across the corpus)
+        polish_success=sum(1 for r in rows if r.get("status_polish") == 1),
+        polish_fail=sum(1 for r in rows if r.get("status_polish") == -1),
         total_time=total_time,
     )
     if verbose:

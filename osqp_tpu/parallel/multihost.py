@@ -64,6 +64,10 @@ def allreduce_summary(summary: dict) -> dict:
     out = dict(summary)
     for k, v in zip(keys, np.asarray(total)):
         out[k] = type(summary[k])(v) if isinstance(summary[k], int) else float(v)
-    if "solved" in out and "problems" in out:
-        out["pass_rate"] = out["solved"] / max(out["problems"], 1)
+    if "problems" in out:
+        # run_maros defines pass_rate as final/problems ("final" counts
+        # solved plus correctly-certified infeasibility detections);
+        # recompute from the same numerator, not from "solved".
+        num = out.get("final", out.get("solved", 0))
+        out["pass_rate"] = num / max(out["problems"], 1)
     return out

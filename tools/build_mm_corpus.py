@@ -1,0 +1,205 @@
+"""Build the regenerated Maros-Meszaros QPS corpus.
+
+Writes every fingerprint-VERIFIED encoding from tools/maros_sif.py as a
+QPS file under tests/data/maros_mm/ (through the package's own QPS
+writer, so the harness exercises the real parser path end-to-end), plus
+``MM_INDEX.json`` holding each problem's published optimum, provenance
+and sizes, and the explicit list of repository problems that CANNOT be
+regenerated (empirical data) with the reason.
+
+Usage: python tools/build_mm_corpus.py [--verify]
+  --verify  re-run the f64 fingerprint for every problem before writing
+            (slow; the fast path trusts the recorded verification).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+import scipy.sparse as sp
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+
+# The canonical 138 problem names of the repository (paper Table 1).
+CANONICAL_138 = (
+    "AUG2D AUG2DC AUG2DCQP AUG2DQP AUG3D AUG3DC AUG3DCQP AUG3DQP "
+    "BOYD1 BOYD2 CONT-050 CONT-100 CONT-101 CONT-200 CONT-201 CONT-300 "
+    "CVXQP1_S CVXQP1_M CVXQP1_L CVXQP2_S CVXQP2_M CVXQP2_L "
+    "CVXQP3_S CVXQP3_M CVXQP3_L DPKLO1 DTOC3 DUAL1 DUAL2 DUAL3 DUAL4 "
+    "DUALC1 DUALC2 DUALC5 DUALC8 EXDATA GENHS28 GOULDQP2 GOULDQP3 "
+    "HS118 HS21 HS268 HS35 HS35MOD HS51 HS52 HS53 HS76 HUES-MOD "
+    "HUESTIS KSIP LASER LISWET1 LISWET2 LISWET3 LISWET4 LISWET5 "
+    "LISWET6 LISWET7 LISWET8 LISWET9 LISWET10 LISWET11 LISWET12 "
+    "LOTSCHD MOSARQP1 MOSARQP2 POWELL20 PRIMAL1 PRIMAL2 PRIMAL3 "
+    "PRIMAL4 PRIMALC1 PRIMALC2 PRIMALC5 PRIMALC8 Q25FV47 QADLITTL "
+    "QAFIRO QBANDM QBEACONF QBORE3D QBRANDY QCAPRI QE226 QETAMACR "
+    "QFFFFF80 QFORPLAN QGFRDXPN QGROW15 QGROW22 QGROW7 QISRAEL "
+    "QPCBLEND QPCBOEI1 QPCBOEI2 QPCSTAIR QPILOTNO QPTEST QRECIPE "
+    "QSC205 QSCAGR25 QSCAGR7 QSCFXM1 QSCFXM2 QSCFXM3 QSCORPIO QSCRS8 "
+    "QSCSD1 QSCSD6 QSCSD8 QSCTAP1 QSCTAP2 QSCTAP3 QSEBA QSHARE1B "
+    "QSHARE2B QSHELL QSHIP04L QSHIP04S QSHIP08L QSHIP08S QSHIP12L "
+    "QSHIP12S QSIERRA QSTAIR QSTANDAT S268 STADAT1 STADAT2 STADAT3 "
+    "STCQP1 STCQP2 TAME UBH1 VALUES YAO ZECEVIC2"
+).split()
+assert len(CANONICAL_138) == 138, len(CANONICAL_138)
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "data", "maros_mm")
+
+# The canonical 138-problem repository listing, partitioned by
+# regenerability.  "data" = the QPS is empirical data with no generating
+# formula (netlib LP bases with added quadratics, measured datasets,
+# random instances whose numbers are baked into the SIF); these cannot
+# be reproduced without the files themselves.
+UNAVAILABLE = {
+    "BOYD1": "empirical data (contributed instance)",
+    "BOYD2": "empirical data (contributed instance)",
+    "DPKLO1": "data-defined SIF",
+    "DUAL1": "random data baked into SIF",
+    "DUAL2": "random data baked into SIF",
+    "DUAL3": "random data baked into SIF",
+    "DUAL4": "random data baked into SIF",
+    "DUALC1": "random data baked into SIF",
+    "DUALC2": "random data baked into SIF",
+    "DUALC5": "random data baked into SIF",
+    "DUALC8": "random data baked into SIF",
+    "EXDATA": "experimental dataset",
+    "HS118": "tabulated H-S problem (encoding not yet verified)",
+    "HS268": "tabulated data matrix (encoding not yet verified)",
+    "S268": "tabulated data matrix (encoding not yet verified)",
+    "LASER": "empirical dataset",
+    "LOTSCHD": "empirical data",
+    "MOSARQP1": "SIF pseudo-random data (generator not pinned)",
+    "MOSARQP2": "SIF pseudo-random data (generator not pinned)",
+    "PRIMAL1": "random data baked into SIF",
+    "PRIMAL2": "random data baked into SIF",
+    "PRIMAL3": "random data baked into SIF",
+    "PRIMAL4": "random data baked into SIF",
+    "PRIMALC1": "random data baked into SIF",
+    "PRIMALC2": "random data baked into SIF",
+    "PRIMALC5": "random data baked into SIF",
+    "PRIMALC8": "random data baked into SIF",
+    "STADAT1": "empirical data",
+    "STADAT2": "empirical data",
+    "STADAT3": "empirical data",
+    "VALUES": "empirical data",
+    "CONT-050": "PDE-control discretization not pinned (attempted)",
+    "CONT-100": "PDE-control discretization not pinned (attempted)",
+    "CONT-101": "PDE-control discretization not pinned (attempted)",
+    "CONT-200": "PDE-control discretization not pinned (attempted)",
+    "CONT-201": "PDE-control discretization not pinned (attempted)",
+    "CONT-300": "PDE-control discretization not pinned (attempted)",
+    "AUG2DC": "boundary-objective variant not exactly reproduced "
+              "(best attempt within 1e-4 rel of published optimum)",
+    "AUG2DQP": "bounded variant not yet fingerprint-verified",
+    "AUG2DCQP": "bounded variant not yet fingerprint-verified",
+    "AUG3D": "3-D expanded-system structure not pinned",
+    "AUG3DC": "3-D expanded-system structure not pinned",
+    "AUG3DQP": "3-D expanded-system structure not pinned",
+    "AUG3DCQP": "3-D expanded-system structure not pinned",
+}
+# netlib-derived Q* problems — all empirical LP bases
+for nm in ("Q25FV47 QADLITTL QAFIRO QBANDM QBEACONF QBORE3D QBRANDY "
+           "QCAPRI QE226 QETAMACR QFFFFF80 QFORPLAN QGFRDXPN QGROW15 "
+           "QGROW22 QGROW7 QISRAEL QPCBLEND QPCBOEI1 QPCBOEI2 QPCSTAIR "
+           "QPILOTNO QRECIPE QSC205 QSCAGR25 QSCAGR7 QSCFXM1 QSCFXM2 "
+           "QSCFXM3 QSCORPIO QSCRS8 QSCSD1 QSCSD6 QSCSD8 QSCTAP1 "
+           "QSCTAP2 QSCTAP3 QSEBA QSHARE1B QSHARE2B QSHELL QSHIP04L "
+           "QSHIP04S QSHIP08L QSHIP08S QSHIP12L QSHIP12S QSIERRA "
+           "QSTAIR QSTANDAT").split():
+    UNAVAILABLE[nm] = "netlib LP basis + quadratic (empirical data)"
+
+
+def to_osqp_form(prob):
+    """Append finite variable bounds as identity rows (io/qps.py
+    _assemble mapping)."""
+    lo = np.asarray(prob["bounds"][0], float)
+    up = np.asarray(prob["bounds"][1], float)
+    A = prob["A"]
+    n = prob["q"].shape[0]
+    bounded = np.flatnonzero((lo > -1e29) | (up < 1e29))
+    if bounded.size:
+        I_rows = sp.coo_matrix(
+            (np.ones(bounded.size), (np.arange(bounded.size), bounded)),
+            shape=(bounded.size, n),
+        ).tocsc()
+        A_full = sp.vstack([A, I_rows], format="csc")
+        l_full = np.concatenate([prob["l"], lo[bounded]])
+        u_full = np.concatenate([prob["u"], up[bounded]])
+    else:
+        A_full, l_full, u_full = A, prob["l"], prob["u"]
+    return A_full, l_full, u_full
+
+
+def verified_problems():
+    """All fingerprint-verified generators (each reproduced its
+    published optimum in f64 — see tools/verify_mm.py)."""
+    import maros_sif as ms
+
+    probs = list(ms.make_all_small())
+    for v, sz, n in ((1, "S", 100), (1, "M", 1000), (1, "L", 10000),
+                     (2, "S", 100), (2, "M", 1000), (2, "L", 10000),
+                     (3, "S", 100), (3, "M", 1000), (3, "L", 10000)):
+        probs.append(ms.cvxqp(v, n, f"CVXQP{v}_{sz}"))
+    probs.append(ms.aug2d())
+    probs.append(ms.qptest())
+    for k in sorted(ms._LISWET_G):
+        probs.append(ms.liswet(k))
+    return probs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--verify", action="store_true")
+    args = ap.parse_args()
+
+    from osqp_tpu.io.qps_write import write_qps
+    from osqp_tpu.io.qps import load_qps
+
+    os.makedirs(OUT, exist_ok=True)
+    index = {}
+    for p in verified_problems():
+        if args.verify:
+            from verify_mm import fingerprint
+
+            r = fingerprint(p)
+            assert r["match"], (p["name"], r)
+        A_full, l_full, u_full = to_osqp_form(p)
+        path = os.path.join(OUT, f"{p['name']}.qps")
+        write_qps(p["name"], p["P"], p["q"], A_full, l_full, u_full,
+                  obj_constant=p["obj_const"], path=path)
+        qp = load_qps(path)  # round-trip sanity through the real parser
+        assert qp.n == p["q"].shape[0], (p["name"], qp.n)
+        assert abs(qp.obj_constant - p["obj_const"]) < 1e-9 * (
+            1 + abs(p["obj_const"])), p["name"]
+        index[p["name"]] = dict(
+            published=p["published"], source=p["source"],
+            n=int(qp.n), m=int(qp.m),
+        )
+        print(f"{p['name']:<12} n={qp.n:<7} m={qp.m:<7} "
+              f"pub={p['published']:+.7e}")
+
+    pending = sorted(
+        set(CANONICAL_138) - set(index) - set(UNAVAILABLE)
+    )
+    covered = dict(problems=index, unavailable=UNAVAILABLE,
+                   pending_formula=pending,
+                   counts=dict(verified=len(index),
+                               unavailable=len(UNAVAILABLE),
+                               pending=len(pending), total=138))
+    extra = set(index) | set(UNAVAILABLE)
+    assert extra <= set(CANONICAL_138), extra - set(CANONICAL_138)
+    with open(os.path.join(OUT, "MM_INDEX.json"), "w") as f:
+        json.dump(covered, f, indent=1, sort_keys=True)
+    print(f"{len(index)} verified -> {OUT}; {len(UNAVAILABLE)} "
+          f"unavailable (data); {len(pending)} formula-defined pending")
+
+
+if __name__ == "__main__":
+    main()

@@ -301,3 +301,102 @@ def cvxqp(variant: int, n: int, name: str):
 def make_all_small():
     return [hs21(), hs35(), hs35mod(), hs51(), hs52(), hs53(), hs76(),
             tame(), genhs28(), zecevic2()]
+
+
+# ---------------------------------------------------------------------------
+# AUG2D (expanded-system 2-D framework problem)
+# ---------------------------------------------------------------------------
+def aug2d(nx=100, ny=100):
+    """AUG2D: minimum-norm edge flow on an nx x ny cell grid.
+
+    Variables are the horizontal (nx*(ny+1)) and vertical ((nx+1)*ny)
+    edge values; each cell imposes the divergence equation
+
+        X(i,j+1) - X(i,j) + Y(i+1,j) - Y(i,j) = 1,
+
+    and the objective is 0.5 * sum of squares of the INTERIOR edges
+    (domain-boundary edges carry no objective weight — they are the
+    "expanded" multipliers that absorb the net flux).  Encoding verified
+    against the published optimum 1.6874118e6 (reproduced to 8 digits:
+    1687411.89 — see tools/verify_mm.py history)."""
+    nh = nx * (ny + 1)
+    nv = (nx + 1) * ny
+    n = nh + nv
+    hidx = lambda i, j: (i - 1) * (ny + 1) + (j - 1)
+    vidx = lambda i, j: nh + (i - 1) * ny + (j - 1)
+    rows, cols, vals = [], [], []
+    r = 0
+    for i in range(1, nx + 1):
+        for j in range(1, ny + 1):
+            rows += [r] * 4
+            cols += [hidx(i, j + 1), hidx(i, j), vidx(i + 1, j), vidx(i, j)]
+            vals += [1.0, -1.0, 1.0, -1.0]
+            r += 1
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(r, n)).tocsc()
+    w = np.ones(n)
+    for i in range(1, nx + 1):
+        w[hidx(i, 1)] = 0.0
+        w[hidx(i, ny + 1)] = 0.0
+    for j in range(1, ny + 1):
+        w[vidx(1, j)] = 0.0
+        w[vidx(nx + 1, j)] = 0.0
+    P = sp.diags(w, format="csc")
+    b = np.ones(r)
+    return _prob("AUG2D", P, np.zeros(n), A, b, b,
+                 source="CUTE AUG2D.SIF structure, "
+                        "fingerprint-verified vs published optimum"
+                 ) | dict(bounds=([-INF] * n, [INF] * n))
+
+
+# ---------------------------------------------------------------------------
+# LISWET family (Li & Swetits k-convex data-smoothing QPs; CUTE SIF
+# LISWET*.SIF).  min 0.5 sum (x_i - b_i)^2  s.t.  x_j - 2x_{j+1} +
+# x_{j+2} >= 0, with b_i = g(t_i) + 0.1 sin(i), t_i = (i-1)/(N-1).
+# The g per variant is identified by fingerprint: the projection
+# residual integral of each candidate g must reproduce the published
+# optimum (e.g. LISWET1's 36.1224 = noise power 25.004 + N/2 * 1/450,
+# the exact affine-regression residual of sqrt(t)).
+# ---------------------------------------------------------------------------
+_LISWET_G = {
+    1: ("sqrt(t)", lambda t: np.sqrt(t)),
+    7: ("sin(pi t)", lambda t: np.sin(np.pi * t)),
+    8: ("sin(2 pi t)", lambda t: np.sin(2 * np.pi * t)),
+    10: ("cos(pi t)", lambda t: np.cos(np.pi * t)),
+    11: ("cos(2 pi t)", lambda t: np.cos(2 * np.pi * t)),
+}
+
+
+def liswet(k: int, N: int = 10002, reverse_t: bool = False, i0: int = 1):
+    """LISWET{k}.  ``reverse_t``/``i0`` expose the grid/noise phase
+    conventions pinned by the full-size fingerprint."""
+    gname, g = _LISWET_G[k]
+    t = np.linspace(0.0, 1.0, N)
+    if reverse_t:
+        t = t[::-1]
+    i = np.arange(i0, i0 + N)
+    b = g(t) + 0.1 * np.sin(i.astype(float))
+    P = sp.eye(N, format="csc")
+    q = -b
+    const = 0.5 * float(b @ b)
+    m = N - 2
+    A = sp.diags(
+        [np.ones(m), -2.0 * np.ones(m), np.ones(m)], [0, 1, 2],
+        shape=(m, N), format="csc",
+    )
+    return _prob(f"LISWET{k}", P, q, A, np.zeros(m), np.full(m, INF),
+                 obj_const=const,
+                 source=f"Li-Swetits convex smoothing, g = {gname}, "
+                        "noise 0.1 sin(i); fingerprint-verified"
+                 ) | dict(bounds=([-INF] * N, [INF] * N))
+
+
+def qptest():
+    """QPTEST — the worked QPS example printed in the Maros-Meszaros
+    paper itself (the repository's 2-variable demo problem).  Optimum
+    4.371875 reproduced exactly."""
+    P = np.array([[8.0, 2.0], [2.0, 10.0]])
+    q = np.array([1.5, -2.0])
+    A = np.array([[2.0, 1.0], [-1.0, 2.0]])
+    return _prob("QPTEST", P, q, A, [2.0, -INF], [INF, 6.0],
+                 source="Maros-Meszaros paper QPS example") | dict(
+        bounds=([0.0, 0.0], [20.0, INF]))
