@@ -75,6 +75,8 @@ def _solve_one_sparse(qp, settings):
         status_polish=int(np.asarray(res.status_polish)[0]),
         time=time.perf_counter() - t,
         sparse=True,
+        x=np.asarray(res.x)[0],
+        y=np.asarray(res.y)[0],
     )
 
 
@@ -88,6 +90,7 @@ def run_maros(
     fallback_dtype=None,
     shard: tuple[int, int] | None = None,
     verbose: bool = True,
+    keep_solutions: bool = False,
 ):
     """Solve a QPS file list; returns (per-problem rows, summary).
 
@@ -144,6 +147,8 @@ def run_maros(
                     dua_res=r.info.dua_res,
                     status_polish=r.info.status_polish,
                     time=time.perf_counter() - t,
+                    x=r.x,
+                    y=r.y,
                 )
             )
     else:
@@ -178,6 +183,8 @@ def run_maros(
                         dua_res=r.dua_res,
                         status_polish=r.status_polish,
                         time=float("nan"),
+                        x=r.x,
+                        y=r.y,
                     )
                 )
             else:
@@ -236,7 +243,14 @@ def run_maros(
                     dua_res=rr.dua_res,
                     status_polish=rr.status_polish,
                     fallback=True,
+                    x=rr.x,
+                    y=rr.y,
                 )
+
+    if not keep_solutions:
+        for r in rows:
+            r.pop("x", None)
+            r.pop("y", None)
 
     total_time = time.perf_counter() - t0
 

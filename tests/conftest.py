@@ -8,13 +8,21 @@ float32 (the DFLOAT build analogue) and are exercised by bench.py.
 
 import os
 
+# f32-on-device leg (the reference CI's DFLOAT configuration,
+# main.yml flag matrix): OSQP_TPU_TEST_F32=1 keeps the DEFAULT backend
+# (the real TPU in the bench environment) in float32 and runs only the
+# tests marked ``f32`` at f32-grade tolerances — the production
+# configuration gets a correctness gate, not just a throughput number.
+F32_DEVICE = os.environ.get("OSQP_TPU_TEST_F32", "0") == "1"
+
 # The environment pre-sets JAX_PLATFORMS=axon (the tunneled TPU) and a
 # sitecustomize imports jax at interpreter start, so the env var alone is
 # too late — use jax.config as well.  Tests run on the CPU backend in x64
 # with 8 virtual devices for the sharding suite.
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not F32_DEVICE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not F32_DEVICE and "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
 # The suite compiles hundreds of distinct programs in one process; with
 # the default parallel codegen split (32 LLVM JIT modules per program)
@@ -27,8 +35,9 @@ os.environ["XLA_FLAGS"] = flags
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not F32_DEVICE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite compiles hundreds of programs
 # (each distinct StaticConfig is a fresh executable); caching them on
@@ -85,6 +94,13 @@ import pytest
 
 
 def pytest_collection_modifyitems(config, items):
+    if F32_DEVICE:
+        skip_f32 = pytest.mark.skip(
+            reason="not part of the f32-on-device leg (mark with f32)"
+        )
+        for item in items:
+            if "f32" not in item.keywords:
+                item.add_marker(skip_f32)
     if not SANITIZE:
         return
     skip = pytest.mark.skip(reason="produces NaNs by design (nanok)")
@@ -111,7 +127,9 @@ def _periodic_executable_unload():
         jax.clear_caches()
 
 
-TESTS_TOL = 1e-4  # tests/osqp_tester.h:9
+# tests/osqp_tester.h:9 — in the f32 device leg the golden comparisons
+# relax to f32-grade accuracy (the DFLOAT build tolerance class).
+TESTS_TOL = 5e-3 if F32_DEVICE else 1e-4
 
 
 @pytest.fixture

@@ -44,6 +44,7 @@ def make_solver(**settings):
 class TestBasicQPSolve:
     """test_basic_qp_solve (test_basic_qp.h:10-~120)."""
 
+    @pytest.mark.f32
     def test_solve(self):
         s = make_solver()
         res = s.solve()
@@ -52,6 +53,7 @@ class TestBasicQPSolve:
         assert_allclose(res.y, SOL_Y)
         assert abs(res.info.obj_val - SOL_OBJ) < TESTS_TOL
 
+    @pytest.mark.f32
     def test_solve_with_scaling(self):
         s = make_solver(scaling=10)
         res = s.solve()
@@ -59,6 +61,7 @@ class TestBasicQPSolve:
         assert_allclose(res.x, SOL_X)
         assert_allclose(res.y, SOL_Y)
 
+    @pytest.mark.f32
     def test_solve_no_polish(self):
         s = make_solver(polish=False)
         res = s.solve()
@@ -213,6 +216,7 @@ class TestBasicQPBehaviors:
         r2 = s.solve()
         assert r1.info.iter == r2.info.iter
 
+    @pytest.mark.f32
     def test_warm_start(self):
         """test_basic_qp_warm_start (test_basic_qp.h:845-903): default
         settings + check_termination=1; warm start at zero reproduces the

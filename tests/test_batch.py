@@ -9,6 +9,7 @@ from numpy.random import Generator, PCG64
 import jax
 
 import osqp_tpu
+from conftest import F32_DEVICE, TESTS_TOL
 from osqp_tpu import constants as con
 from osqp_tpu.batch import solve_batch
 
@@ -28,6 +29,7 @@ def random_qps(B, n, m, seed=7):
 
 
 class TestBatch:
+    @pytest.mark.f32
     def test_batch_equals_single(self):
         B, n, m = 5, 8, 12
         P, q, A, l, u = random_qps(B, n, m)
@@ -37,10 +39,14 @@ class TestBatch:
         for i in range(B):
             s = osqp_tpu.Solver(P=P[i], q=q[i], A=A[i], l=l[i], u=u[i], verbose=False)
             ri = s.solve()
-            # bit-identical per instance: same jitted math, masked batching
+            # bit-identical per instance on the f64/CPU suite (same
+            # jitted math, masked batching); on the f32 device leg XLA
+            # compiles B=5 and B=1 differently, so equality holds only
+            # to f32 accuracy there.
             assert int(res.iter[i]) == ri.info.iter
-            np.testing.assert_allclose(np.asarray(res.x[i]), ri.x, atol=1e-10)
-            np.testing.assert_allclose(np.asarray(res.y[i]), ri.y, atol=1e-10)
+            atol = TESTS_TOL if F32_DEVICE else 1e-10
+            np.testing.assert_allclose(np.asarray(res.x[i]), ri.x, atol=atol)
+            np.testing.assert_allclose(np.asarray(res.y[i]), ri.y, atol=atol)
 
     @pytest.mark.nanok
 
@@ -59,15 +65,18 @@ class TestBatch:
         assert np.all(np.isnan(np.asarray(res.x[2])))
         assert not np.any(np.isnan(np.asarray(res.x[0])))
 
+    @pytest.mark.f32
     def test_batch_polish(self):
         B, n, m = 3, 8, 12
         P, q, A, l, u = random_qps(B, n, m, seed=11)
         res = solve_batch(P, q, A, l, u, polish=True, verbose=False)
         assert np.all(np.asarray(res.status_polish) == 1)
-        # polished solutions satisfy KKT tightly
-        assert np.all(np.asarray(res.pri_res) < 1e-9)
-        assert np.all(np.asarray(res.dua_res) < 1e-9)
+        # polished solutions satisfy KKT tightly (f32: to f32 accuracy)
+        tight = 1e-5 if F32_DEVICE else 1e-9
+        assert np.all(np.asarray(res.pri_res) < tight)
+        assert np.all(np.asarray(res.dua_res) < tight)
 
+    @pytest.mark.f32
     def test_batch_warm_start(self):
         B, n, m = 3, 8, 12
         P, q, A, l, u = random_qps(B, n, m, seed=5)

@@ -16,6 +16,7 @@ from conftest import TESTS_TOL, assert_allclose
 class TestDemo:
     """The 2-var/3-constraint demo QP (examples/osqp_demo.c:4-58)."""
 
+    @pytest.mark.f32
     def test_demo(self):
         P = sp.csc_matrix(np.array([[4.0, 1.0], [1.0, 2.0]]))
         q = np.array([1.0, 1.0])
@@ -31,6 +32,7 @@ class TestUnconstrained:
     """m = 0 edge case (unconstrained/generate_problem.py:5-16;
     pri_res short-circuit auxil.c:611-614,717-719)."""
 
+    @pytest.mark.f32
     def test_unconstrained(self):
         d = np.array([0.617022, 0.92032449, 0.20011437, 0.50233257, 0.34675589])
         P = sp.diags(d, format="csc")

@@ -97,6 +97,7 @@ PUBLISHED = {
     "AUG3DC": 7.7126244e02,
     "AUG3DQP": 6.7523767e02,
     "AUG3DCQP": 9.9336215e02,
+    "QPTEST": 4.3718750e00,
 }
 
 INF = 1e30
@@ -355,7 +356,18 @@ def aug2d(nx=100, ny=100):
 # The g per variant is identified by fingerprint: the projection
 # residual integral of each candidate g must reproduce the published
 # optimum (e.g. LISWET1's 36.1224 = noise power 25.004 + N/2 * 1/450,
-# the exact affine-regression residual of sqrt(t)).
+# the exact affine-regression residual of sqrt(t)).  Verification status:
+#   1 (sqrt t), 7 (sin pi t), 8 (sin 2 pi t): residual fingerprints match
+#     the published optima to <= 3e-4 relative — confirmed;
+#   10/11 (cos pi t / cos 2 pi t): both residuals equal 0.004896 and
+#     match BOTH published values to 8e-4; the pair assignment follows
+#     the index-frequency heuristic and is a documented caveat;
+#   2-6, 9, 12: g not yet identified -> excluded from the corpus.
+# NB the published optima are for the EXACTLY feasible solution; at
+# eps = 1e-3 an ADMM solver (this one or the reference) legitimately
+# returns an eps-feasible point with a lower objective (~25.0) because
+# the smooth g has grid-scale curvature ~1e-7 — LISWET's documented
+# pathology (dual Hessian condition ~n^4).
 # ---------------------------------------------------------------------------
 _LISWET_G = {
     1: ("sqrt(t)", lambda t: np.sqrt(t)),
