@@ -135,8 +135,13 @@ def spd_inverse(M, newton_schulz: int = 1):
     # Leaf size: pure closed-form base-2 recursion up to 512 (the
     # huge-batch hot path; graph stays small), panel leaves of npad/16
     # beyond (small-batch large-n regime; bounds the XLA graph at ~31
-    # recursion nodes regardless of n).
-    leaf = 2 if npad <= 512 else npad // 16
+    # recursion nodes regardless of n).  OSQP_TPU_SPD_LEAF overrides the
+    # small-matrix leaf (perf experiments: larger leaves trade the deep
+    # tiny-GEMM recursion for a few serialized panel steps).
+    import os
+
+    _leaf_env = int(os.environ.get("OSQP_TPU_SPD_LEAF", "2"))
+    leaf = _leaf_env if npad <= 512 else npad // 16
     if npad != n:
         B = M.shape[0]
         Mp = jnp.broadcast_to(

@@ -73,19 +73,20 @@ def scale_data(data: QPData, n_iters: int) -> tuple[QPData, ScalingData]:
     absA = jnp.abs(data.A)
     q0 = data.q
 
-    def sweep(carry, _):
-        c, D, E = carry
+    def p_colmax(D):
+        """colmax_j(D_i |P_ij|) * D_j — the c-free column norm of DPD."""
+        return jnp.max(absP * D[:, :, None], axis=-2) * D
 
-        # Column norms of the *currently scaled* KKT, computed from the
-        # unscaled matrices + accumulated scalings (_col_norms_kkt on
-        # c·DPD / EAD; the cost scalar c does not enter the reference's
-        # KKT column norms — it scales P and q only after, and the next
-        # sweep's norms in the reference DO see it on P).
-        Pn = (
-            jnp.max(absP * D[:, :, None], axis=-2) * D * c[:, None]
-            if n
-            else jnp.zeros((B, n), dtype)
-        )
+    # The cost-normalization norm of sweep k and the d-norm of sweep k+1
+    # read the SAME reduction over P (the accumulated D does not change
+    # between them; only the scalar c does, and it factors out), so one
+    # P pass per sweep suffices: carry the c-free reduction.
+    def sweep(carry, _):
+        c, D, E, Pcol = carry
+
+        # Column norms of the *currently scaled* KKT (c·DPD / EAD; the
+        # cost scalar enters P's norms only, scaling.c:28-42 + 110-141).
+        Pn = Pcol * c[:, None] if n else jnp.zeros((B, n), dtype)
         if m:
             An_col = jnp.max(absA * E[:, :, None], axis=-2) * D
             e_norm = jnp.max(absA * D[:, None, :], axis=-1) * E
@@ -98,26 +99,25 @@ def scale_data(data: QPData, n_iters: int) -> tuple[QPData, ScalingData]:
         D = D * d
         E = E * e
 
-        # Cost normalization (scaling.c:110-141) on the scaled P, q
-        col_norm_P = (
-            jnp.max(absP * D[:, :, None], axis=-2) * D * c[:, None]
-            if n
-            else jnp.zeros((B, n), dtype)
-        )
+        # Cost normalization (scaling.c:110-141) on the scaled P, q —
+        # the sweep's single pass over P.
+        Pcol = p_colmax(D) if n else Pcol
+        col_norm_P = Pcol * c[:, None] if n else jnp.zeros((B, n), dtype)
         c_temp = jnp.mean(col_norm_P, axis=-1)
         inf_norm_q = limit_scaling(
             jnp.max(jnp.abs(q0) * D, axis=-1) * c
         )
         c_temp = limit_scaling(jnp.maximum(c_temp, inf_norm_q))
         c = c / c_temp
-        return (c, D, E), None
+        return (c, D, E, Pcol), None
 
     init = (
         jnp.ones((B,), dtype),
         jnp.ones((B, n), dtype),
         jnp.ones((B, m), dtype),
+        p_colmax(jnp.ones((B, n), dtype)) if n else jnp.zeros((B, n), dtype),
     )
-    (c, D, E), _ = jax.lax.scan(sweep, init, None, length=n_iters)
+    (c, D, E, _), _ = jax.lax.scan(sweep, init, None, length=n_iters)
 
     scl = ScalingData(c=c, cinv=1.0 / c, D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E)
     scaled = QPData(
@@ -141,9 +141,10 @@ def _scale_data_ell(data: QPData, n_iters: int) -> tuple[QPData, ScalingData]:
     dtype = data.q.dtype
     q0 = data.q
 
+    # Same one-P-pass-per-sweep carry as the dense branch.
     def sweep(carry, _):
-        c, D, E = carry
-        Pn = ell_col_norms(P, D) * D * c[:, None] if n else jnp.zeros((B, n), dtype)
+        c, D, E, Pcol = carry
+        Pn = Pcol * c[:, None] if n else jnp.zeros((B, n), dtype)
         if m:
             An_col = ell_col_norms(A, E) * D
             e_norm = ell_row_norms(A, D) * E
@@ -156,21 +157,22 @@ def _scale_data_ell(data: QPData, n_iters: int) -> tuple[QPData, ScalingData]:
         D = D * d
         E = E * e
 
-        col_norm_P = (
-            ell_col_norms(P, D) * D * c[:, None] if n else jnp.zeros((B, n), dtype)
-        )
+        Pcol = ell_col_norms(P, D) * D if n else Pcol
+        col_norm_P = Pcol * c[:, None] if n else jnp.zeros((B, n), dtype)
         c_temp = jnp.mean(col_norm_P, axis=-1)
         inf_norm_q = limit_scaling(jnp.max(jnp.abs(q0) * D, axis=-1) * c)
         c_temp = limit_scaling(jnp.maximum(c_temp, inf_norm_q))
         c = c / c_temp
-        return (c, D, E), None
+        return (c, D, E, Pcol), None
 
+    ones_n = jnp.ones((B, n), dtype)
     init = (
         jnp.ones((B,), dtype),
-        jnp.ones((B, n), dtype),
+        ones_n,
         jnp.ones((B, m), dtype),
+        ell_col_norms(P, ones_n) * ones_n if n else jnp.zeros((B, n), dtype),
     )
-    (c, D, E), _ = jax.lax.scan(sweep, init, None, length=n_iters)
+    (c, D, E, _), _ = jax.lax.scan(sweep, init, None, length=n_iters)
 
     scl = ScalingData(c=c, cinv=1.0 / c, D=D, Dinv=1.0 / D, E=E, Einv=1.0 / E)
     scaled = QPData(

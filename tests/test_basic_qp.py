@@ -238,19 +238,20 @@ class TestBasicQPBehaviors:
         assert r3.info.iter == 1
 
     def test_update_q(self):
-        """q update + re-solve (basic_qp update section, golden from a
-        direct KKT solve)."""
+        """q update + re-solve against the GOLDEN solution (reference
+        test_basic_qp.h update sections assert x/y, not just KKT).
+        Golden x = (0.425, 0.575), y = (-4.775, 0, 0, 0): stationarity
+        P x + q_new + A'y = 0 holds exactly in rationals."""
         s = make_solver()
         q_new = np.array([2.5, 3.2])
         s.update_lin_cost(q_new)
         assert s.info.status_val == con.OSQP_UNSOLVED
         res = s.solve()
         assert res.info.status_val == con.OSQP_SOLVED
-        # verify KKT optimality directly
-        P, q0, A, l, u = problem()
-        x = res.x
-        grad = np.asarray((P + sp.triu(P, 1).T) @ x) + q_new + np.asarray(A.T @ res.y)
-        assert np.max(np.abs(grad)) < 1e-3
+        np.testing.assert_allclose(res.x, [0.425, 0.575], atol=TESTS_TOL)
+        np.testing.assert_allclose(
+            res.y, [-4.775, 0.0, 0.0, 0.0], atol=TESTS_TOL
+        )
 
     def test_update_bounds_and_resolve(self):
         s = make_solver()
@@ -259,8 +260,10 @@ class TestBasicQPBehaviors:
         s.update_bounds(l=l_new, u=u_new)
         res = s.solve()
         assert res.info.status_val == con.OSQP_SOLVED
-        lc = np.clip(l_new, -con.OSQP_INFTY, con.OSQP_INFTY)
-        uc = np.clip(u_new, -con.OSQP_INFTY, con.OSQP_INFTY)
-        P, q, A, _, _ = problem()
-        Ax = np.asarray(A @ res.x)
-        assert np.all(Ax >= lc - 1e-3) and np.all(Ax <= uc + 1e-3)
+        # Golden solution (x1+x2 = 0.8 lower-active, row-4 equality at
+        # 0.5); stationarity P x + q + A'y = 0 exact in rationals.
+        np.testing.assert_allclose(res.x, [0.3, 0.5], atol=TESTS_TOL)
+        np.testing.assert_allclose(
+            res.y, [-2.7, 0.0, 0.0, 0.4], atol=TESTS_TOL
+        )
+        assert abs(res.info.obj_val - 1.38) < TESTS_TOL
