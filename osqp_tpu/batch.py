@@ -288,7 +288,7 @@ def _solve_segmented(
     cfg, scaling_iters, do_polish, refine_iter,
     P, q, A, l, u, rho0, dyn, x0, y0,
     compact: bool = False, min_batch: int = 256, time_limit: float = 0.0,
-    base_time: float = 0.0,
+    base_time: float = 0.0, max_fused_iters: int | None = None,
 ):
     t0 = time.perf_counter()
     B = q.shape[0]
@@ -335,8 +335,16 @@ def _solve_segmented(
         # With a time limit the FIRST poll must come early (the
         # reference polls the clock every iteration, osqp.c:387-407),
         # so the fused segment shrinks to one polling quantum.
+        # ``max_fused_iters`` bounds any single device program: a fused
+        # dispatch spanning tens of minutes (long sparse CG solves at
+        # max_iter ~ 2e4) gets the TPU worker killed mid-run ("worker
+        # process crashed or restarted"), so long-running paths poll at
+        # a coarse, cheap cadence instead (osqp_tpu.large sets this).
         if time_limit > 0:
             first_end = min(seg, cfg.max_iter)
+        elif max_fused_iters:
+            seg = max(seg, int(max_fused_iters))
+            first_end = min(int(max_fused_iters), cfg.max_iter)
         else:
             first_end = cfg.max_iter
         try:

@@ -132,6 +132,11 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
         jnp.asarray(l, dtype), jnp.asarray(u, dtype),
         rho0, dyn, x0, y0,
         time_limit=float(s.time_limit),
+        # Large sparse solves with deep inner-CG loops can spend tens of
+        # minutes in one device program, which gets the TPU worker
+        # killed; bound each dispatch (polling cost is negligible at
+        # this scale).
+        max_fused_iters=2000,
     )
 
 
