@@ -14,8 +14,9 @@ SPMD partitioner inserts the collectives (the scaling-book recipe: pick
 a mesh, annotate shardings, let XLA do the rest).  The factor-free cg
 backend means there is no sharded Cholesky to write.
 
-Polish builds a dense (n+m)^2 reduced KKT and is therefore disabled on
-this path (use the single-chip API for polish-grade accuracy).
+Polish: the DENSE sharded-single path disables it (its reduced KKT is
+a dense (n+m)^2 factorization); the SPARSE sharded path runs the
+matrix-free reduced-KKT CG polish under the same shardings.
 """
 
 from __future__ import annotations
@@ -116,10 +117,14 @@ def solve_single_sharded_sparse(
       XLA resolves with one all-gather of y (O(m) bytes) per product;
     * P (ELL) and all n-vectors replicated.
 
-    P/A are scipy sparse; polish unsupported (as on every sparse path).
-    Validation, dtype resolution, ELL construction and configs are the
-    shared :func:`osqp_tpu.large.prepare_sparse`; only the row padding
-    and device placement live here.  Returns a batch-of-1
+    P/A are scipy sparse.  ``polish=True`` runs the matrix-free
+    reduced-KKT CG polish (polish.py ELL branch) under the same
+    shardings — its products are the very operators sharded above, so
+    XLA partitions the refinement like the main loop (padded rows are
+    loose, hence inactive and zero-masked).  Validation, dtype
+    resolution, ELL construction and configs are the shared
+    :func:`osqp_tpu.large.prepare_sparse`; only the row padding and
+    device placement live here.  Returns a batch-of-1
     BatchSolveResults.
     """
     import scipy.sparse as sp
@@ -161,7 +166,7 @@ def solve_single_sharded_sparse(
         lambda a: jax.device_put(a, repl), P_ell
     )
     res = _solve_segmented(
-        cfg, int(s.scaling), False, 0,
+        cfg, int(s.scaling), bool(s.polish), int(s.polish_refine_iter),
         P_ell,
         jax.device_put(jnp.asarray(q2, dtype), repl),
         A_ell,
@@ -170,6 +175,7 @@ def solve_single_sharded_sparse(
         jnp.full((1,), s.rho, dtype),
         dyn, None, None,
         time_limit=float(s.time_limit),
+        max_fused_iters=2000,  # same TPU-worker duration bound as large.py
     )
     if pad:
         res = res._replace(

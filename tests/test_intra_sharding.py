@@ -131,3 +131,30 @@ def test_sparse_sharded_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(r.x), np.asarray(r0.x), atol=1e-12
     )
+
+
+def test_sparse_sharded_polish():
+    """polish=True on the row-sharded sparse path: the matrix-free
+    reduced-KKT CG refines under the same shardings (round 3 closes the
+    last polish asymmetry); result matches the unsharded sparse polish."""
+    import scipy.sparse as sp
+    from osqp_tpu.large import solve_sparse
+    from osqp_tpu.parallel import make_mesh, solve_single_sharded_sparse
+
+    rng = np.random.default_rng(9)
+    n = 96
+    P = sp.diags(1.0 + np.abs(rng.standard_normal(n))).tocsc()
+    A = sp.vstack([sp.eye(n), sp.diags([1.0] * (n - 1), 1).tocsr()[: n - 1]]).tocsc()
+    q = rng.standard_normal(n)
+    m = A.shape[0]
+    l, u = -np.ones(m), np.ones(m)
+
+    mesh = make_mesh(8)
+    r_sh = solve_single_sharded_sparse(P, q, A, l, u, mesh=mesh,
+                                       polish=True, verbose=False)
+    assert int(np.asarray(r_sh.status_val)[0]) == 1
+    assert int(np.asarray(r_sh.status_polish)[0]) == 1
+    r_un = solve_sparse(P, q, A, l, u, polish=True, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.x)[0], np.asarray(r_un.x)[0], atol=1e-9
+    )
