@@ -383,3 +383,24 @@ class TestSparseSolverDeviceResident:
         s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
         with pytest.raises(osqp_tpu.OSQPError):
             s.export()
+
+
+def test_sparse_dispatch_cap(monkeypatch):
+    """solve_sparse bounds every device dispatch (max_fused_iters): a
+    single fused program spanning tens of minutes gets the TPU worker
+    killed on long CG solves, so the sparse path polls at a coarse
+    cadence even with no time limit."""
+    import osqp_tpu.batch as batch_mod
+
+    seen = []
+    real = batch_mod._start_c
+
+    def spy(cfg_, *args):
+        seen.append(int(args[-1]))
+        return real(cfg_, *args)
+
+    monkeypatch.setattr(batch_mod, "_start_c", spy)
+    P, q, A, l, u = _rand_sparse_qp(30, 40, 0.2, seed=21)
+    solve_sparse(P, q, A, l, u, verbose=False, max_iter=50000,
+                 eps_abs=0.0, eps_rel=1e-14)
+    assert seen and seen[0] <= 2000
