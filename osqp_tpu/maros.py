@@ -91,6 +91,7 @@ def run_maros(
     shard: tuple[int, int] | None = None,
     verbose: bool = True,
     keep_solutions: bool = False,
+    cg_max_iter: int = 0,
 ):
     """Solve a QPS file list; returns (per-problem rows, summary).
 
@@ -119,6 +120,11 @@ def run_maros(
     )
     if dtype is not None:
         settings["dtype"] = dtype
+    if cg_max_iter:
+        # bounds the indirect backend's inner loop — long sparse solves
+        # with unbounded inner CG can push a single device dispatch past
+        # the TPU worker's tolerance (see large.py max_fused_iters)
+        settings["cg_max_iter"] = int(cg_max_iter)
 
     t0 = time.perf_counter()
     rows = []

@@ -45,6 +45,7 @@ def main():
     ap.add_argument("--dtype", type=str, default=None)
     ap.add_argument("--fallback", type=str, default="float64")
     ap.add_argument("--max-iter", type=int, default=20000)
+    ap.add_argument("--cg-max-iter", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU/x64 backend (dev runs)")
     ap.add_argument("--only", type=str, default=None,
@@ -88,6 +89,7 @@ def main():
         fallback_dtype=args.fallback,
         verbose=False,
         keep_solutions=True,
+        cg_max_iter=args.cg_max_iter,
     )
 
     # Independent KKT verification (pass criterion) + published-optimum
