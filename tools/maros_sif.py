@@ -370,11 +370,20 @@ def aug2d(nx=100, ny=100):
 # pathology (dual Hessian condition ~n^4).
 # ---------------------------------------------------------------------------
 _LISWET_G = {
-    1: ("sqrt(t)", lambda t: np.sqrt(t)),
-    7: ("sin(pi t)", lambda t: np.sin(np.pi * t)),
-    8: ("sin(2 pi t)", lambda t: np.sin(2 * np.pi * t)),
-    10: ("cos(pi t)", lambda t: np.cos(np.pi * t)),
-    11: ("cos(2 pi t)", lambda t: np.cos(2 * np.pi * t)),
+    # Assignments fingerprint-verified by an EXACT longdouble
+    # interior-point solve of the full N=10002 instance (tools/
+    # liswet_exact.py): each optimum below reproduces the published
+    # value (rel err in parens).  cos(4 pi t) -> 1736.9274430 matches
+    # LISWET12's published 1736.9274 to ALL printed digits, pinning the
+    # grid (t = linspace(0,1,N)) and noise (0.1 sin(i), i = 1..N)
+    # conventions exactly.
+    1: ("sqrt(t)", lambda t: np.sqrt(t)),            # 36.1206172 (4.9e-5)
+    7: ("sin(pi t)", lambda t: np.sin(np.pi * t)),   # 498.8380176 (5.8e-6)
+    8: ("sin(2 pi t)", lambda t: np.sin(2 * np.pi * t)),   # 714.4670725 (4.2e-6)
+    9: ("sin(4 pi t)", lambda t: np.sin(4 * np.pi * t)),   # 1963.2481845 (1.6e-6)
+    10: ("cos(pi t)", lambda t: np.cos(np.pi * t)),        # 49.4831903 (5.2e-5)
+    11: ("cos(2 pi t)", lambda t: np.cos(2 * np.pi * t)),  # 49.5238771 (1.6e-6)
+    12: ("cos(4 pi t)", lambda t: np.cos(4 * np.pi * t)),  # 1736.9274430 (2e-9)
 }
 
 
