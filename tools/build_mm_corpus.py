@@ -149,6 +149,7 @@ def verified_problems():
         probs.append(ms.cvxqp(v, n, f"CVXQP{v}_{sz}"))
     probs.append(ms.aug2d())
     probs.append(ms.qptest())
+    probs.append(ms.powell20())
     for k in sorted(ms._LISWET_G):
         probs.append(ms.liswet(k))
     return probs

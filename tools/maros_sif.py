@@ -411,6 +411,26 @@ def liswet(k: int, N: int = 10002, reverse_t: bool = False, i0: int = 1):
                  ) | dict(bounds=([-INF] * N, [INF] * N))
 
 
+def powell20(n=10000):
+    """POWELL20 — min 1/2||x||^2 s.t. cyclic first differences
+    x_{i+1 mod n} - x_i >= 0.5 + (-1)^(i+1) i,  i = 1..n  (M. Powell,
+    CUTE POWELL20.SIF).  Assignment fingerprint-verified by the exact
+    longdouble IPM (tools/powell20_exact.py): optimum 5.20895828e10
+    reproduces the published 5.2089583e10 at rel 3.6e-9."""
+    i1 = np.arange(1, n + 1, dtype=float)
+    c = 0.5 + (-1.0) ** (i1 + 1) * i1
+    P = sp.eye(n, format="csc")
+    q = np.zeros(n)
+    rows = np.concatenate([np.arange(n), np.arange(n)])
+    cols = np.concatenate([np.arange(n), (np.arange(n) + 1) % n])
+    vals = np.concatenate([-np.ones(n), np.ones(n)])
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsc()
+    return _prob("POWELL20", P, q, A, c, np.full(n, INF),
+                 source="Powell cyclic-difference QP (CUTE POWELL20.SIF "
+                        "formula); exact-IPM fingerprint rel 3.6e-9"
+                 ) | dict(bounds=([-INF] * n, [INF] * n))
+
+
 def qptest():
     """QPTEST — the worked QPS example printed in the Maros-Meszaros
     paper itself (the repository's 2-variable demo problem).  Optimum
