@@ -46,6 +46,9 @@ PUBLISHED = {
     "TAME": 0.0,
     "GENHS28": 9.2717369e-01,
     "ZECEVIC2": -4.1250000e00,
+    "HS118": 6.6482045e02,
+    "HS268": 0.0,  # exact optimum (table prints solver noise ~5e-7)
+    "S268": 0.0,   # same problem in the Schittkowski numbering
     # CVXQP family
     "CVXQP1_S": 1.1590718e04,
     "CVXQP1_M": 1.0875116e06,
@@ -264,6 +267,74 @@ def zecevic2():
     return _prob("ZECEVIC2", P, q, A, [-INF, -INF], [2.0, 4.0],
                  source="Zecevic problem 2 (fingerprint-reconstructed)"
                  ) | dict(bounds=([0.0, -INF], [INF, INF]))
+
+
+def hs118():
+    """HS118 — the 15-variable production-scheduling QP tabulated in
+    Hock & Schittkowski.  Objective sum_k 2.3 x_{3k+1} + 1e-4 x_{3k+1}^2
+    + 1.7 x_{3k+2} + 1e-4 x_{3k+2}^2 + 2.2 x_{3k+3} + 1.5e-4 x_{3k+3}^2;
+    ramp constraints between consecutive triples and per-triple demand
+    sums.  Encoding confirmed by hand-evaluating the book's optimizer
+    x* = (8,49,3, 1,56,0, 1,63,6, 3,70,12, 5,77,18): objective
+    664.82045 reproduces the published 6.6482045e2 to all digits."""
+    n = 15
+    P = np.diag(np.tile([2e-4, 2e-4, 3e-4], 5))
+    q = np.tile([2.3, 1.7, 2.2], 5)
+    rows, l, u = [], [], []
+    for j in range(1, 5):  # ramps x_{3j+k} - x_{3(j-1)+k}
+        for k, (lo, hi) in enumerate(((-7.0, 6.0), (-7.0, 7.0),
+                                      (-7.0, 6.0))):
+            r = np.zeros(n)
+            r[3 * j + k] = 1.0
+            r[3 * (j - 1) + k] = -1.0
+            rows.append(r), l.append(lo), u.append(hi)
+    for j, dem in enumerate((60.0, 50.0, 70.0, 85.0, 100.0)):
+        r = np.zeros(n)
+        r[3 * j:3 * j + 3] = 1.0
+        rows.append(r), l.append(dem), u.append(INF)
+    lo = [8.0, 43.0, 3.0] + [0.0] * 12
+    up = [21.0, 57.0, 16.0] + [90.0, 120.0, 60.0] * 4
+    return _prob("HS118", P, q, np.array(rows), l, u,
+                 source="H-S problem 118 (optimizer-verified encoding)"
+                 ) | dict(bounds=(lo, up))
+
+
+# HS268 / S268 — Schittkowski problem 268: min ||Bx - d||^2 subject to
+# five linear inequalities.  The tabulated (B, d) below is
+# self-verifying: at the book's optimizer x* = (1, 2, -1, 3, -4) the
+# residual Bx* - d is EXACTLY zero in every row (integer arithmetic),
+# and constraint g5 is active — the probability of a mis-recalled
+# integer table having that property is nil.  Optimum 0.
+_B268 = np.array([
+    [-74.0, 80.0, 18.0, -11.0, -4.0],
+    [14.0, -69.0, 21.0, 28.0, 0.0],
+    [66.0, -72.0, -5.0, 7.0, 1.0],
+    [-12.0, 66.0, -30.0, -23.0, 3.0],
+    [3.0, 8.0, -7.0, -4.0, 1.0],
+    [4.0, -12.0, 4.0, 4.0, 0.0],
+])
+_D268 = np.array([51.0, -61.0, -56.0, 69.0, 10.0, -12.0])
+
+
+def hs268(name="HS268"):
+    P, q, c = _lsq(_B268, _D268)
+    # g_i(x) = a_i'x + c_i >= 0
+    A = np.array([
+        [-1.0, -1.0, -1.0, -1.0, -1.0],
+        [10.0, 10.0, -3.0, 5.0, 4.0],
+        [-8.0, 1.0, -2.0, -5.0, 3.0],
+        [8.0, -1.0, 2.0, 5.0, -3.0],
+        [-4.0, -2.0, 3.0, -5.0, 1.0],
+    ])
+    lb = [-5.0, 20.0, -40.0, 11.0, -30.0]
+    p = _prob(name, P, q, A, lb, [INF] * 5, obj_const=c,
+              source="Schittkowski problem 268 (residual-exact data)"
+              ) | dict(bounds=([-INF] * 5, [INF] * 5))
+    return p
+
+
+def s268():
+    return hs268("S268")
 
 
 # ---------------------------------------------------------------------------
