@@ -289,6 +289,7 @@ def _solve_segmented(
     P, q, A, l, u, rho0, dyn, x0, y0,
     compact: bool = False, min_batch: int = 256, time_limit: float = 0.0,
     base_time: float = 0.0, max_fused_iters: int | None = None,
+    verbose: bool = False,
 ):
     t0 = time.perf_counter()
     B = q.shape[0]
@@ -309,9 +310,33 @@ def _solve_segmented(
     # compiled segment exits on its own as soon as every instance
     # terminates, so long segments waste no iterations; compaction wants
     # per-check granularity to react to terminations.
-    seg = check if compact else max(4 * check, 100)
+    # Verbose needs per-check granularity for the live summary rows
+    # (util.c:152-175); otherwise long segments cost nothing.
+    seg = check if (compact or verbose) else max(4 * check, 100)
     fallback = con.OSQP_MAX_ITER_REACHED
     run_checks = True
+
+    if verbose and not compact:
+        from .solver import _device_row_info
+        from .utils.printing import print_iter_header, print_iter_row
+
+        next_print = [1]  # reference prints iter 1 then every 200
+
+        def _maybe_row(scaled, scl, c, end):
+            if end >= next_print[0]:
+                obj, pri, dua, rho = _device_row_info(cfg, scaled, scl, dyn, c)
+                print_iter_row(
+                    end, float(obj[0]), float(pri[0]), float(dua[0]),
+                    float(rho[0]), time.perf_counter() - t0,
+                )
+                next_print[0] = (
+                    end // con.PRINT_INTERVAL + 1
+                ) * con.PRINT_INTERVAL
+    else:
+        verbose = False
+
+        def _maybe_row(scaled, scl, c, end):
+            pass
 
     if not compact:
         # First dispatch is the fused program (speculative result); the
@@ -340,13 +365,19 @@ def _solve_segmented(
         # max_iter ~ 2e4) gets the TPU worker killed mid-run ("worker
         # process crashed or restarted"), so long-running paths poll at
         # a coarse, cheap cadence instead (osqp_tpu.large sets this).
-        if time_limit > 0:
+        if verbose or time_limit > 0:
+            # rows (and the time-limit poll) need the first dispatch at
+            # polling granularity, not the fused whole-range program
             first_end = min(seg, cfg.max_iter)
         elif max_fused_iters:
             seg = max(seg, int(max_fused_iters))
             first_end = min(int(max_fused_iters), cfg.max_iter)
         else:
             first_end = cfg.max_iter
+        if verbose:
+            from .utils.printing import print_iter_header
+
+            print_iter_header()
         try:
             scaled, scl, rho_state, factor, c, res = _start_c(
                 cfg, scaling_iters, do_polish, refine_iter,
@@ -364,6 +395,7 @@ def _solve_segmented(
                 fallback_status=con.OSQP_SIGINT, run_checks=False,
             )
         try:
+            _maybe_row(scaled, scl, c, first_end)
             if first_end >= cfg.max_iter:
                 return res  # whole range fit in the fused program
             act = np.asarray(c.active)  # the only poll on the happy path
@@ -388,6 +420,7 @@ def _solve_segmented(
                 c2 = _segment_c(cfg, scaled, scl, dyn, c1, end2)
                 c = c1
                 act = np.asarray(c1.active)  # overlaps c2 on device
+                _maybe_row(scaled, scl, c1, end1)
                 if not act.any():
                     c = c2  # queued no-op; same state
                     break
@@ -603,11 +636,26 @@ def solve_batch(
         isinstance(v, jax.core.Tracer) for v in (P, q, A, l, u, x0, y0)
         if v is not None
     )
+    verbose = bool(s.verbose) and not traced
+    if verbose:
+        from .utils.printing import print_setup_header_vals
+
+        nnz = int(np.count_nonzero(np.triu(np.asarray(P[0])))) + int(
+            np.count_nonzero(np.asarray(A[0]))
+        )
+        print_setup_header_vals(s, n, m, nnz, B=B)
     if (compact or segmented) and not traced:
-        return _solve_segmented(
+        t0 = time.perf_counter()
+        res = _solve_segmented(
             *args,
             compact=bool(compact),
             min_batch=int(min_compact_batch),
             time_limit=float(s.time_limit),
+            verbose=verbose,
         )
+        if verbose:
+            from .utils.printing import print_batch_footer
+
+            print_batch_footer(res, s, time.perf_counter() - t0)
+        return res
     return solve_batch_jit(*args)

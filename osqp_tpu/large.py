@@ -126,7 +126,15 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
             else jnp.zeros((B, m), dtype)
         )
 
-    return _solve_segmented(
+    if s.verbose:
+        from .utils.printing import print_setup_header_vals
+
+        nnz = sp.triu(sp.csc_matrix(P)).nnz + sp.csc_matrix(A).nnz
+        print_setup_header_vals(s, n, m, int(nnz), B=B)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    res = _solve_segmented(
         cfg, int(s.scaling), bool(s.polish), int(s.polish_refine_iter),
         P_ell, jnp.asarray(q, dtype), A_ell,
         jnp.asarray(l, dtype), jnp.asarray(u, dtype),
@@ -137,7 +145,13 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
         # killed; bound each dispatch (polling cost is negligible at
         # this scale).
         max_fused_iters=2000,
+        verbose=bool(s.verbose),
     )
+    if s.verbose:
+        from .utils.printing import print_batch_footer
+
+        print_batch_footer(res, s, _time.perf_counter() - t0)
+    return res
 
 
 # ---------------------------------------------------------------------------

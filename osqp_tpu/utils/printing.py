@@ -8,17 +8,26 @@ from .. import constants as con
 
 def print_setup_header(solver) -> None:
     """print_setup_header (util.c:58-150)."""
-    s = solver.settings
-    nnzP = solver._Pu.nnz
-    nnzA = solver._Ac.nnz
+    print_setup_header_vals(
+        solver.settings, solver.n, solver.m,
+        solver._Pu.nnz + solver._Ac.nnz,
+    )
+
+
+def print_setup_header_vals(s, n, m, nnz, B: int = 1) -> None:
+    """Data-driven setup header (util.c:58-150) — shared by the
+    stateful Solver and the functional solve_batch / solve_sparse
+    entries, which have no solver object."""
     print("-" * 59)
     print(
         f"           OSQP-TPU v{_ver}  -  Operator Splitting QP Solver\n"
         "              (TPU-native re-implementation of OSQP)"
     )
     print("-" * 59)
-    print("problem:  variables n = %d, constraints m = %d" % (solver.n, solver.m))
-    print("          nnz(P) + nnz(A) = %d" % (nnzP + nnzA))
+    batch = f" (x {B} instances)" if B > 1 else ""
+    print("problem:  variables n = %d, constraints m = %d%s"
+          % (n, m, batch))
+    print("          nnz(P) + nnz(A) = %d" % nnz)
     print(
         "settings: linear system solver = %s (backend)" % s.linsys_solver,
     )
@@ -74,4 +83,46 @@ def print_summary_footer(solver) -> None:
         print(f"optimal objective:    {info.obj_val:.4f}")
     print(f"run time:             {info.run_time:.2e}s")
     print(f"optimal rho estimate: {info.rho_estimate:.2e}")
+    print()
+
+
+def print_batch_footer(res, settings, run_time: float) -> None:
+    """Footer for the functional solve_batch / solve_sparse results
+    (util.c:177-236).  With B > 1 the per-solution lines report
+    instance 0 (the reference is single-instance; rows/footers follow
+    it) plus a batch status histogram so no instance is hidden."""
+    import numpy as np
+
+    status = np.asarray(res.status_val)
+    B = status.shape[0]
+    i0 = int(np.asarray(res.iter)[0])
+    pol = int(np.asarray(res.status_polish)[0])
+    if settings.polish and pol == 1:
+        print(
+            f"plsh  {float(np.asarray(res.obj_val)[0]): .4e}  "
+            f"{float(np.asarray(res.pri_res)[0]):.2e}  "
+            f"{float(np.asarray(res.dua_res)[0]):.2e}   --------   "
+            "--------"
+        )
+    print()
+    print(f"status:               "
+          f"{con.STATUS_MESSAGE.get(int(status[0]), str(status[0]))}")
+    if B > 1:
+        vals, counts = np.unique(status, return_counts=True)
+        hist = ", ".join(
+            f"{con.STATUS_MESSAGE.get(int(v), str(v))}: {c}"
+            for v, c in zip(vals, counts)
+        )
+        print(f"batch status:         {hist}")
+    if settings.polish:
+        if pol == 1:
+            print("solution polish:      successful")
+        elif pol < 0:
+            print("solution polish:      unsuccessful")
+    print(f"number of iterations: {i0}")
+    if int(status[0]) in (con.OSQP_SOLVED, con.OSQP_SOLVED_INACCURATE):
+        print(f"optimal objective:    {float(np.asarray(res.obj_val)[0]):.4f}")
+    print(f"run time:             {run_time:.2e}s")
+    print(f"optimal rho estimate: "
+          f"{float(np.asarray(res.rho_estimate)[0]):.2e}")
     print()

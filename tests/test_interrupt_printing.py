@@ -137,3 +137,44 @@ def test_verbose_output_columns(capsys):
     assert "number of iterations:" in out
     assert "optimal rho estimate" in out
     assert res.info.status_val == con.OSQP_SOLVED
+
+
+def test_verbose_solve_batch(capsys):
+    """The functional batched entry prints the same header/rows/footer
+    (util.c:42-236) — instance-0 rows plus a batch status histogram."""
+    from osqp_tpu.batch import solve_batch
+
+    P, q, A, l, u = _problem()
+    B = 3
+    bc = lambda v: np.broadcast_to(v, (B,) + v.shape).copy()
+    res = solve_batch(bc(P), bc(q), bc(A), bc(l), bc(u), verbose=True)
+    out = capsys.readouterr().out
+    assert "Operator Splitting QP Solver" in out
+    assert "variables n = 2, constraints m = 3 (x 3 instances)" in out
+    assert "iter " in out and "objective" in out and "pri res" in out
+    assert "batch status:         solved: 3" in out
+    assert "optimal rho estimate" in out
+    assert np.all(np.asarray(res.status_val) == con.OSQP_SOLVED)
+
+    # verbose=False must print nothing (and stay on the fused path)
+    res = solve_batch(bc(P), bc(q), bc(A), bc(l), bc(u), verbose=False)
+    assert capsys.readouterr().out == ""
+    assert np.all(np.asarray(res.status_val) == con.OSQP_SOLVED)
+
+
+def test_verbose_solve_sparse(capsys):
+    """solve_sparse prints reference-format rows (the round-2 review
+    flagged the sparse path as header/footer only)."""
+    import scipy.sparse as sp
+
+    from osqp_tpu.large import solve_sparse
+
+    P, q, A, l, u = _problem()
+    res = solve_sparse(sp.csc_matrix(P), q, sp.csc_matrix(A), l, u,
+                       verbose=True, polish=True)
+    out = capsys.readouterr().out
+    assert "Operator Splitting QP Solver" in out
+    assert "linear system solver = cg" in out
+    assert "iter " in out and "objective" in out and "dua res" in out
+    assert "status:               solved" in out
+    assert int(np.asarray(res.status_val)[0]) == con.OSQP_SOLVED
