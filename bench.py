@@ -168,6 +168,12 @@ def main():
     import jax
 
     from osqp_tpu.batch import solve_batch
+    from osqp_tpu.utils.cache import enable_compile_cache
+
+    # Persistent compile cache (atomic writes) — a killed run's remote
+    # TPU compile (60-120 s) otherwise has to redo from scratch, and a
+    # kill mid-compile can wedge the tunneled worker for a long time.
+    enable_compile_cache()
 
     B = int(os.environ.get("BENCH_BATCH", "8192"))
     n = int(os.environ.get("BENCH_N", "100"))

@@ -54,12 +54,15 @@ def main():
 
     import jax
 
+    from osqp_tpu.utils.cache import enable_compile_cache
+
+    # Both backends: on the tunneled TPU a killed run otherwise redoes
+    # every 60-120 s remote compile, and a kill mid-compile can wedge
+    # the worker; the atomic-write cache makes chunked re-runs cheap.
+    enable_compile_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-        from osqp_tpu.utils.cache import enable_compile_cache
-
-        enable_compile_cache()
         if args.dtype is None:
             args.dtype = "float64"
         if args.fallback == args.dtype:
