@@ -318,20 +318,14 @@ def _solve_segmented(
 
     if verbose and not compact:
         from .solver import _device_row_info
-        from .utils.printing import print_iter_header, print_iter_row
+        from .utils.printing import IterRowPrinter
 
-        next_print = [1]  # reference prints iter 1 then every 200
+        rows = IterRowPrinter(t0)
 
         def _maybe_row(scaled, scl, c, end):
-            if end >= next_print[0]:
-                obj, pri, dua, rho = _device_row_info(cfg, scaled, scl, dyn, c)
-                print_iter_row(
-                    end, float(obj[0]), float(pri[0]), float(dua[0]),
-                    float(rho[0]), time.perf_counter() - t0,
-                )
-                next_print[0] = (
-                    end // con.PRINT_INTERVAL + 1
-                ) * con.PRINT_INTERVAL
+            rows.maybe(
+                end, lambda: _device_row_info(cfg, scaled, scl, dyn, c)
+            )
     else:
         verbose = False
 
@@ -370,14 +364,15 @@ def _solve_segmented(
             # polling granularity, not the fused whole-range program
             first_end = min(seg, cfg.max_iter)
         elif max_fused_iters:
-            seg = max(seg, int(max_fused_iters))
+            # the per-dispatch bound is exact in both directions: larger
+            # than the polling quantum it coarsens polling (fewer host
+            # round trips on long sparse solves); smaller, it SHORTENS
+            # every dispatch, not just the first (the TPU-worker
+            # watchdog invariant the parameter exists for)
+            seg = int(max_fused_iters)
             first_end = min(int(max_fused_iters), cfg.max_iter)
         else:
             first_end = cfg.max_iter
-        if verbose:
-            from .utils.printing import print_iter_header
-
-            print_iter_header()
         try:
             scaled, scl, rho_state, factor, c, res = _start_c(
                 cfg, scaling_iters, do_polish, refine_iter,
@@ -636,7 +631,10 @@ def solve_batch(
         isinstance(v, jax.core.Tracer) for v in (P, q, A, l, u, x0, y0)
         if v is not None
     )
-    verbose = bool(s.verbose) and not traced
+    # verbose output needs the host-segmented driver (rows are printed
+    # between segments); the pure-traced path stays silent rather than
+    # emitting a header whose promised rows/footer never come
+    verbose = bool(s.verbose) and not traced and (compact or segmented)
     if verbose:
         from .utils.printing import print_setup_header_vals
 

@@ -517,7 +517,7 @@ class Solver:
         PRINT_INTERVAL, and catching Ctrl-C between segments."""
         import jax.numpy as jnp
 
-        from .utils.printing import print_iter_header, print_iter_row
+        from .utils.printing import IterRowPrinter
 
         cfg = self._cfg
         verbose = bool(self.settings.verbose)
@@ -530,9 +530,7 @@ class Solver:
         seg = check if verbose else max(4 * check, 100)
 
         c = _device_init_carry(cfg, self.data, self.rho_state, self.factor, iterates)
-        if verbose:
-            print_iter_header()
-        next_print = 1  # reference prints at iter == 1 then every 200
+        rows = IterRowPrinter(t0) if verbose else None
         fallback = con.OSQP_MAX_ITER_REACHED
         run_checks = True
         k = 1
@@ -544,15 +542,10 @@ class Solver:
                 c = _device_segment(cfg, self.data, self.scaling, self._dyn, c, end)
                 k = end + 1
                 elapsed = time.perf_counter() - t0
-                if verbose and end >= next_print:
-                    obj, pri, dua, rho = _device_row_info(
+                if verbose:
+                    rows.maybe(end, lambda: _device_row_info(
                         cfg, self.data, self.scaling, self._dyn, c
-                    )
-                    print_iter_row(
-                        end, float(obj[0]), float(pri[0]), float(dua[0]),
-                        float(rho[0]), elapsed,
-                    )
-                    next_print = (end // con.PRINT_INTERVAL + 1) * con.PRINT_INTERVAL
+                    ))
                 if not bool(jnp.any(c.active)):
                     break
                 if time_limit > 0 and base_time + elapsed >= time_limit:

@@ -217,22 +217,35 @@ def ell_value_maps(M, sym_from_triu: bool = False):
 
 
 def ell_pattern_from_scipy(M, sym_from_triu: bool = False):
-    """The unbatched integer pattern (idx, t_idx, shape) that
-    ``ell_from_scipy`` would produce — paired with :func:`ell_value_maps`
-    for device-resident value updates."""
-    M = sp.csr_matrix(M)
+    """The unbatched integer pattern (idx, t_idx, shape) paired with
+    :func:`ell_value_maps` for device-resident value updates.
+
+    The pattern is derived from the TAG matrix (data = 1..nnz), not the
+    value matrix: explicit-zero stored entries — the reference's
+    documented placeholder workflow, where a zero is stored so a later
+    ``update_P``/``update_A`` can write it (osqp.c:1031-1062) — must
+    occupy an ELL slot.  Pushing the values through scipy's binops
+    instead can cancel them out of the pattern while the maps keep
+    them, silently mis-pairing every subsequent value gather."""
+    T = sp.csr_matrix(_tag_matrix(M))  # line-identical to ell_value_maps
     if sym_from_triu:
-        U = sp.triu(M, format="csr")
-        M = (U + U.T - sp.diags(U.diagonal())).tocsr()
-    idx, _ = _to_ell_rows(M)
-    t_idx, _ = _to_ell_rows(M.T.tocsr())
-    return idx, t_idx, tuple(M.shape)
+        U = sp.triu(T, format="csr")
+        T = (U + U.T - sp.diags(U.diagonal())).tocsr()
+    idx, _ = _to_ell_rows(T)
+    t_idx, _ = _to_ell_rows(T.T.tocsr())
+    return idx, t_idx, tuple(T.shape)
 
 
 def ell_with_values(idx, t_idx, shape, src, t_src, values, dtype, batch=1):
     """Device-side: assemble an :class:`ELLMatrix` by gathering
     ``values`` (1-D, CSC nnz order) through the maps.  O(nnz) gathers,
     no host pattern work — the device-resident update path."""
+    if src.shape != idx.shape or t_src.shape != t_idx.shape:
+        raise ValueError(
+            f"value maps {src.shape}/{t_src.shape} disagree with the "
+            f"pattern {idx.shape}/{t_idx.shape} — pattern and maps must "
+            "come from the same matrix (explicit zeros included)"
+        )
     v = jnp.asarray(values, dtype)
     val = jnp.where(src >= 0, v[jnp.clip(src, 0)], 0)
     t_val = jnp.where(t_src >= 0, v[jnp.clip(t_src, 0)], 0)

@@ -17,24 +17,53 @@ import tempfile
 
 
 def _atomic_put(self, key, val):
+    """LRUCache.put with the single write_bytes made atomic.
+
+    Everything else — the empty-key guard, the oversized-entry
+    rejection, the eviction lock/trigger, and the atime stamp — is the
+    ORIGINAL put's behavior, preserved so processes that also enable
+    jax_persistent_cache_max_size keep a bounded cache (round-3 review:
+    the first version replaced put wholesale and silently disabled
+    eviction for every LRUCache in the process)."""
+    import warnings
+
     from jax._src import lru_cache as _lru
 
     if not key:
         raise ValueError("key cannot be empty")
-    cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
-    if cache_path.exists():
+    if self.eviction_enabled and len(val) > self.max_size:
+        warnings.warn(
+            f"Cache value for key {key!r} of size {len(val)} bytes "
+            f"exceeds the maximum cache size of {self.max_size} bytes"
+        )
         return
-    fd, tmp = tempfile.mkstemp(dir=str(self.path), prefix=".inflight-")
+    cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+    if self.eviction_enabled:
+        self.lock.acquire(timeout=self.lock_timeout_secs)
     try:
-        with os.fdopen(fd, "wb") as f:
-            f.write(val)
-        os.replace(tmp, str(cache_path))
-    except BaseException:
+        if cache_path.exists():
+            return
+        self._evict_if_needed(additional_size=len(val))
+        fd, tmp = tempfile.mkstemp(dir=str(self.path), prefix=".inflight-")
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+            with os.fdopen(fd, "wb") as f:
+                f.write(val)
+            os.replace(tmp, str(cache_path))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        if self.eviction_enabled:
+            import time as _time
+
+            timestamp = _time.time_ns().to_bytes(8, "little")
+            atime_path = self.path / f"{key}{_lru._ATIME_SUFFIX}"
+            atime_path.write_bytes(timestamp)
+    finally:
+        if self.eviction_enabled:
+            self.lock.release()
 
 
 def enable_compile_cache(path: str | None = None) -> str:

@@ -126,3 +126,31 @@ def print_batch_footer(res, settings, run_time: float) -> None:
     print(f"optimal rho estimate: "
           f"{float(np.asarray(res.rho_estimate)[0]):.2e}")
     print()
+
+
+class IterRowPrinter:
+    """The reference's live-row cadence (print at iter 1, then every
+    PRINT_INTERVAL — util.c:152-175), shared by the stateful Solver loop
+    and the functional segmented driver so the two paths cannot drift."""
+
+    def __init__(self, t0: float):
+        import time
+
+        self._time = time
+        self.t0 = t0
+        self.next_print = 1
+        print_iter_header()
+
+    def maybe(self, end: int, fetch) -> None:
+        """Print a row for iteration ``end`` if the cadence calls for
+        one; ``fetch()`` returns (obj, pri, dua, rho) device arrays and
+        is only invoked when a row is actually printed."""
+        if end >= self.next_print:
+            obj, pri, dua, rho = fetch()
+            print_iter_row(
+                end, float(obj[0]), float(pri[0]), float(dua[0]),
+                float(rho[0]), self._time.perf_counter() - self.t0,
+            )
+            self.next_print = (
+                end // con.PRINT_INTERVAL + 1
+            ) * con.PRINT_INTERVAL

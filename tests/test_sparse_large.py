@@ -404,3 +404,41 @@ def test_sparse_dispatch_cap(monkeypatch):
     solve_sparse(P, q, A, l, u, verbose=False, max_iter=50000,
                  eps_abs=0.0, eps_rel=1e-14)
     assert seen and seen[0] <= 2000
+
+
+def test_explicit_zero_placeholder_update():
+    """A stored explicit zero in triu(P) is the reference's documented
+    placeholder workflow (store the slot, write it later via update_P,
+    osqp.c:1031-1062).  The ELL pattern and the value maps must both
+    keep it; deriving the pattern from the value matrix dropped it
+    (scipy binop cancellation) and every later gather mis-paired
+    (round-3 review finding, confirmed silent wrong answer)."""
+    import osqp_tpu.sparse_ops as so
+
+    P = sp.csc_matrix(
+        (np.array([1.0, 0.0, 1.0, 1.0]),
+         (np.array([0, 0, 1, 2]), np.array([0, 1, 1, 2]))),
+        shape=(3, 3),
+    )  # explicit zero at (0, 1)
+    q = np.array([1.0, -1.0, 0.5])
+    A = sp.eye(3, format="csc")
+    l = -np.ones(3)
+    u = np.ones(3)
+
+    # pattern and maps agree slot-for-slot
+    idx, t_idx, shape = so.ell_pattern_from_scipy(P, sym_from_triu=True)
+    src, t_src = so.ell_value_maps(P, sym_from_triu=True)
+    assert src.shape == idx.shape and t_src.shape == t_idx.shape
+
+    s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
+    s.update_P(Px=np.array([1.0, 0.4, 1.0, 1.0]))  # write the placeholder
+    r = s.solve()
+    assert r.info.status == "solved"
+
+    P2 = sp.csc_matrix(np.array([[1.0, 0.4, 0.0],
+                                 [0.4, 1.0, 0.0],
+                                 [0.0, 0.0, 1.0]]))
+    ref = osqp_tpu.solve_sparse(P2, q, A, l, u, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(r.x), np.asarray(ref.x)[0], atol=1e-6
+    )

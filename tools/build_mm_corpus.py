@@ -126,24 +126,11 @@ for nm in ("Q25FV47 QADLITTL QAFIRO QBANDM QBEACONF QBORE3D QBRANDY "
 
 
 def to_osqp_form(prob):
-    """Append finite variable bounds as identity rows (io/qps.py
-    _assemble mapping)."""
-    lo = np.asarray(prob["bounds"][0], float)
-    up = np.asarray(prob["bounds"][1], float)
-    A = prob["A"]
-    n = prob["q"].shape[0]
-    bounded = np.flatnonzero((lo > -1e29) | (up < 1e29))
-    if bounded.size:
-        I_rows = sp.coo_matrix(
-            (np.ones(bounded.size), (np.arange(bounded.size), bounded)),
-            shape=(bounded.size, n),
-        ).tocsc()
-        A_full = sp.vstack([A, I_rows], format="csc")
-        l_full = np.concatenate([prob["l"], lo[bounded]])
-        u_full = np.concatenate([prob["u"], up[bounded]])
-    else:
-        A_full, l_full, u_full = A, prob["l"], prob["u"]
-    return A_full, l_full, u_full
+    """Canonical bound-appending mapping — single implementation in
+    tools/maros_sif.py, shared with the fingerprint verifier."""
+    import maros_sif as ms
+
+    return ms.to_osqp_form(prob)
 
 
 def verified_problems():

@@ -117,6 +117,29 @@ def _prob(name, P, q, A, l, u, obj_const=0.0, source=""):
     )
 
 
+def to_osqp_form(prob):
+    """Append finite variable bounds as identity rows — the SAME mapping
+    io/qps.py:_assemble applies to QPS BOUNDS sections.  The single
+    canonical implementation: the corpus writer and the fingerprint
+    verifier must agree on it by construction (round-3 review: three
+    near-copies could drift).  Returns (A_full, l_full, u_full)."""
+    lo = np.asarray(prob["bounds"][0], float)
+    up = np.asarray(prob["bounds"][1], float)
+    A = prob["A"]
+    n = prob["q"].shape[0]
+    bounded = np.flatnonzero((lo > -1e29) | (up < 1e29))
+    if not bounded.size:
+        return A, prob["l"], prob["u"]
+    I_rows = sp.coo_matrix(
+        (np.ones(bounded.size), (np.arange(bounded.size), bounded)),
+        shape=(bounded.size, n),
+    ).tocsc()
+    A_full = sp.vstack([A, I_rows], format="csc")
+    l_full = np.concatenate([prob["l"], lo[bounded]])
+    u_full = np.concatenate([prob["u"], up[bounded]])
+    return A_full, l_full, u_full
+
+
 def _lsq(R, d):
     """P, q, const for f(x) = || R x - d ||^2 (note: NOT halved)."""
     R = np.asarray(R, float)

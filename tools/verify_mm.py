@@ -27,22 +27,11 @@ jax.config.update("jax_enable_x64", True)
 
 
 def to_osqp_form(prob):
-    """Append finite variable bounds as identity rows (the same mapping
-    io/qps.py:_assemble uses when reading QPS BOUNDS sections)."""
-    lo, up = np.asarray(prob["bounds"][0]), np.asarray(prob["bounds"][1])
-    A = prob["A"]
-    n = prob["q"].shape[0]
-    bounded = np.flatnonzero((lo > -1e29) | (up < 1e29))
-    if bounded.size:
-        I_rows = sp.coo_matrix(
-            (np.ones(bounded.size), (np.arange(bounded.size), bounded)),
-            shape=(bounded.size, n),
-        ).tocsc()
-        A_full = sp.vstack([A, I_rows], format="csc")
-        l_full = np.concatenate([prob["l"], lo[bounded]])
-        u_full = np.concatenate([prob["u"], up[bounded]])
-    else:
-        A_full, l_full, u_full = A, prob["l"], prob["u"]
+    """Canonical bound-appending mapping (tools/maros_sif.py) — shared
+    with the corpus writer so verifier and writer cannot drift."""
+    import maros_sif as ms
+
+    A_full, l_full, u_full = ms.to_osqp_form(prob)
     return prob["P"], prob["q"], A_full, l_full, u_full
 
 
