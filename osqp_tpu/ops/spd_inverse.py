@@ -66,6 +66,52 @@ def _chol_inv_base1(M):
     return L, 1.0 / L
 
 
+def _chol_inv_leaf_batchminor(M):
+    """(L, L^-1) for (B, s, s) blocks via a BATCH-MINOR unrolled
+    factorization: the block is transposed to (s, s, B) so the batch
+    rides the 128-wide lane dimension and every step of the s-step
+    Cholesky / forward-substitution is a fully dense elementwise op.
+
+    Why: the deep closed-form recursion bottoms out in (B, 2, 2)-shaped
+    tensors whose TPU tiling is (8, 128) — >99% padding — so each of
+    the ~3 n/2 tiny ops near the leaves pays a full HBM round trip on
+    garbage lanes; profiled at ~100 ms of the 8192 x (100x100) setup.
+    Batch-minor layout makes the SAME arithmetic lane-dense: the whole
+    s=32 leaf is ~s^3 B VPU flops with zero padding, plus two cheap
+    transposes.  Top recursion levels stay batch-major GEMMs (MXU).
+    """
+    B, s = M.shape[0], M.shape[-1]
+    A = jnp.transpose(M, (1, 2, 0))  # (s, s, B)
+    # -- Cholesky, rank-1 right-looking, unrolled over the s columns --
+    cols = []  # cols[k]: (s-k, B) = L[k:, k]
+    for k in range(s):
+        dk = jnp.sqrt(A[0, 0])  # (B,); NaN where not PD (contract)
+        ck = A[1:, 0] / dk if s - k > 1 else None
+        cols.append(
+            jnp.concatenate([dk[None], ck], axis=0) if ck is not None
+            else dk[None]
+        )
+        if s - k > 1:
+            A = A[1:, 1:] - ck[:, None, :] * ck[None, :, :]
+    z = jnp.zeros_like(M[:, 0, 0])  # (B,)
+    L_rows = [
+        jnp.stack([cols[j][i - j] if j <= i else z for j in range(s)], axis=0)
+        for i in range(s)
+    ]  # each (s, B)
+    Lm = jnp.stack(L_rows, axis=0)  # (s, s, B) lower
+    # -- T = L^-1 by forward substitution, unrolled over rows --
+    eye = jnp.eye(s, dtype=M.dtype)
+    rows = []  # rows[i]: (s, B) = T[i, :]
+    for i in range(s):
+        acc = eye[i][:, None]  # (s, 1) broadcasts over B
+        if i > 0:
+            prev = jnp.stack(rows[:i], axis=0)  # (i, s, B)
+            acc = acc - jnp.sum(Lm[i, :i][:, None, :] * prev, axis=0)
+        rows.append(acc / Lm[i, i][None, :])
+    Tm = jnp.stack(rows, axis=0)  # (s, s, B)
+    return jnp.transpose(Lm, (2, 0, 1)), jnp.transpose(Tm, (2, 0, 1))
+
+
 def _chol_inv_leaf(M):
     """(L, L^-1) via lax cholesky + triangular solve.  Serializes into
     O(n) panel steps on TPU, so it is only used as the recursion leaf
@@ -80,7 +126,7 @@ def _chol_inv_leaf(M):
     return L, T
 
 
-def _chol_inv(M, leaf: int = 2):
+def _chol_inv(M, leaf: int = 2, leaf_impl: str = "panel"):
     """Joint (L, L^-1) for (B, n, n) with n a power of two."""
     n = M.shape[-1]
     if n == 1:
@@ -88,7 +134,8 @@ def _chol_inv(M, leaf: int = 2):
     if n == 2:
         return _chol_inv_base2(M)
     if n <= leaf:
-        return _chol_inv_leaf(M)
+        return (_chol_inv_leaf_batchminor(M) if leaf_impl == "bm"
+                else _chol_inv_leaf(M))
     h = n // 2
     M11 = M[:, :h, :h]
     M21 = M[:, h:, :h]
@@ -141,6 +188,10 @@ def spd_inverse(M, newton_schulz: int = 1):
     import os
 
     _leaf_env = int(os.environ.get("OSQP_TPU_SPD_LEAF", "2"))
+    # OSQP_TPU_SPD_LEAF_IMPL=bm runs the leaf in batch-minor layout
+    # (lane-dense elementwise Cholesky, see _chol_inv_leaf_batchminor);
+    # default "panel" keeps the lax cholesky/triangular-solve leaf.
+    _leaf_impl = os.environ.get("OSQP_TPU_SPD_LEAF_IMPL", "panel")
     leaf = _leaf_env if npad <= 512 else npad // 16
     if npad != n:
         B = M.shape[0]
@@ -149,7 +200,7 @@ def spd_inverse(M, newton_schulz: int = 1):
         ).at[:, :n, :n].set(Ms)
     else:
         Mp = Ms
-    _, T = _chol_inv(Mp, leaf)
+    _, T = _chol_inv(Mp, leaf, _leaf_impl)
     X = jnp.einsum(
         "bkn,bkm->bnm", T, T, preferred_element_type=M.dtype,
         precision="highest",

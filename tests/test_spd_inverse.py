@@ -109,3 +109,45 @@ def test_dense_inv_fallback_is_per_instance():
     # routes genuinely differ there, so the test can't pass vacuously).
     assert np.abs(X_rec[2] - X_chol[2]).max() > 0.0
     np.testing.assert_array_equal(X[2], X_chol[2])
+
+
+def test_batchminor_leaf_matches_reference():
+    """The batch-minor (lane-dense) leaf is the same factorization:
+    L matches numpy's cholesky and T inverts it to machine precision,
+    at every leaf size, and the full spd_inverse with a bm leaf keeps
+    the residual guard and the NaN non-PD contract."""
+    import os
+
+    from osqp_tpu.ops.spd_inverse import _chol_inv_leaf_batchminor
+
+    rng = np.random.default_rng(11)
+    for s in (2, 4, 8, 16, 32, 64):
+        B = 5
+        G = rng.standard_normal((B, s, s))
+        M = jnp.asarray(np.einsum("bij,bkj->bik", G, G) + s * np.eye(s))
+        L, T = _chol_inv_leaf_batchminor(M)
+        Lr = np.linalg.cholesky(np.asarray(M))
+        assert np.abs(np.asarray(L) - Lr).max() < 1e-10 * s
+        assert (
+            np.abs(np.einsum("bij,bjk->bik", np.asarray(T), Lr)
+                   - np.eye(s)).max() < 1e-10 * s
+        )
+
+    os.environ["OSQP_TPU_SPD_LEAF"] = "32"
+    os.environ["OSQP_TPU_SPD_LEAF_IMPL"] = "bm"
+    try:
+        B, n = 4, 100
+        G = rng.standard_normal((B, n, n))
+        M = jnp.asarray(np.einsum("bij,bkj->bik", G, G) / n
+                        + 0.1 * np.eye(n))
+        X = spd_inverse(M)
+        assert (
+            np.abs(np.einsum("bij,bjk->bik", np.asarray(M), np.asarray(X))
+                   - np.eye(n)).max() < 1e-10
+        )
+        Xb = spd_inverse(M.at[0].set(-jnp.eye(n)))
+        assert np.isnan(np.asarray(Xb[0])).all()
+        assert np.isfinite(np.asarray(Xb[1:])).all()
+    finally:
+        del os.environ["OSQP_TPU_SPD_LEAF"]
+        del os.environ["OSQP_TPU_SPD_LEAF_IMPL"]

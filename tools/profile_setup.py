@@ -69,6 +69,25 @@ def main():
         lambda P, A: dense_inv.init(P, A, sigma, rho_vec)))
     timed("dense_inv.init total", full, P, A)
 
+    # Leaf-strategy sweep for the recursive spd_inverse (the factor's
+    # hot piece): closed-form 2x2 recursion vs panel leaves vs the
+    # batch-minor lane-dense leaf, at several leaf sizes.
+    from osqp_tpu.ops.spd_inverse import spd_inverse
+
+    for impl, leaf in (("panel", 2), ("panel", 16), ("panel", 32),
+                       ("panel", 64), ("bm", 16), ("bm", 32), ("bm", 64),
+                       ("bm", 128)):
+        os.environ["OSQP_TPU_SPD_LEAF"] = str(leaf)
+        os.environ["OSQP_TPU_SPD_LEAF_IMPL"] = impl
+        fn = jax.jit(with_high_precision(spd_inverse))
+        try:
+            timed(f"spd_inverse leaf={impl}:{leaf}", fn, M)
+        except Exception as e:  # noqa: BLE001 — sweep must finish
+            print(f"spd_inverse leaf={impl}:{leaf}  FAILED: {e}",
+                  flush=True)
+        jax.clear_caches()
+    del os.environ["OSQP_TPU_SPD_LEAF"], os.environ["OSQP_TPU_SPD_LEAF_IMPL"]
+
 
 if __name__ == "__main__":
     main()
