@@ -1,0 +1,166 @@
+"""Fingerprint scan for the AUG2D variants (AUG2DC / AUG2DQP / AUG2DCQP).
+
+AUG2D itself is pinned (tools/maros_sif.py:aug2d, published optimum
+reproduced to 8 digits).  The variants differ in details the SIF
+encodes but the repository tables do not: which edges carry objective
+weight, the constraint right-hand side pattern, and (QP variants)
+variable bounds.  Equality-only candidates are solved EXACTLY via one
+sparse KKT factorization (scipy splu on [P A'; A 0] — seconds), bound
+candidates via the package's f64 sparse path; a candidate reproducing
+the published optimum to <1e-5 rel IS the problem.
+
+Usage: python tools/aug2d_scan.py [eq|qp]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+PUB = {
+    "AUG2D": 1.6874118e06,
+    "AUG2DC": 1.8183681e06,
+    "AUG2DQP": 6.2370121e06,
+    "AUG2DCQP": 6.4981348e06,
+}
+
+NX = NY = 100
+
+
+def grid(nx=NX, ny=NY):
+    nh = nx * (ny + 1)
+    nv = (nx + 1) * ny
+    n = nh + nv
+    hidx = lambda i, j: (i - 1) * (ny + 1) + (j - 1)
+    vidx = lambda i, j: nh + (i - 1) * ny + (j - 1)
+    rows, cols, vals = [], [], []
+    r = 0
+    for i in range(1, nx + 1):
+        for j in range(1, ny + 1):
+            rows += [r] * 4
+            cols += [hidx(i, j + 1), hidx(i, j), vidx(i + 1, j), vidx(i, j)]
+            vals += [1.0, -1.0, 1.0, -1.0]
+            r += 1
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(r, n)).tocsc()
+    return A, n, hidx, vidx
+
+
+def weights(kind, n, hidx, vidx, nx=NX, ny=NY):
+    w = np.ones(n)
+    if kind == "interior":  # the verified AUG2D weighting
+        for i in range(1, nx + 1):
+            w[hidx(i, 1)] = 0.0
+            w[hidx(i, ny + 1)] = 0.0
+        for j in range(1, ny + 1):
+            w[vidx(1, j)] = 0.0
+            w[vidx(nx + 1, j)] = 0.0
+    return w  # "all": every edge weighted
+
+
+def rhs(kind, nx=NX, ny=NY):
+    b = np.ones(nx * ny)
+    cell = lambda i, j: (i - 1) * ny + (j - 1)
+    if kind == "ones":
+        return b
+    for i in range(1, nx + 1):
+        for j in range(1, ny + 1):
+            ring = i in (1, nx) or j in (1, ny)
+            corner = i in (1, nx) and j in (1, ny)
+            if kind == "ring0" and ring:
+                b[cell(i, j)] = 0.0
+            elif kind == "corner0" and corner:
+                b[cell(i, j)] = 0.0
+            elif kind == "ring0_corner1" and ring and not corner:
+                b[cell(i, j)] = 0.0
+            elif kind == "ring_half" and ring:
+                b[cell(i, j)] = 0.5 if not corner else 0.25
+    return b
+
+
+def solve_eq(w, b, A):
+    """Exact equality-constrained QP: min 0.5 x'Wx s.t. Ax=b via the
+    (regularized) KKT system; tiny sigma lifts the singular zero-weight
+    block, then one Newton correction removes the regularization."""
+    n = len(w)
+    m = len(b)
+    obj = None
+    for sigma in (1e-8,):
+        K = sp.bmat(
+            [[sp.diags(w + sigma), A.T], [A, -sigma * sp.eye(m)]],
+            format="csc",
+        )
+        lu = spla.splu(K)
+        sol = lu.solve(np.concatenate([np.zeros(n), b]))
+        x = sol[:n]
+        # one refinement against the unregularized KKT
+        for _ in range(3):
+            r1 = -(w * x + A.T @ sol[n:])
+            r2 = b - A @ x
+            d = lu.solve(np.concatenate([r1, r2]))
+            x = x + d[:n]
+            sol = sol + d
+        obj = 0.5 * float(np.sum(w * x * x))
+    return obj
+
+
+def main(argv):
+    mode = argv[0] if argv else "eq"
+    A, n, hidx, vidx = grid()
+    if mode == "eq":
+        cands = [
+            ("AUG2D check", "interior", "ones"),
+            ("all-w, b=1", "all", "ones"),
+            ("all-w, ring0", "all", "ring0"),
+            ("all-w, corner0", "all", "corner0"),
+            ("all-w, ring0 keep corners", "all", "ring0_corner1"),
+            ("all-w, ring half", "all", "ring_half"),
+            ("interior-w, ring0", "interior", "ring0"),
+        ]
+        for name, wk, bk in cands:
+            w = weights(wk, n, hidx, vidx)
+            b = rhs(bk)
+            obj = solve_eq(w, b, A)
+            best = min(PUB, key=lambda k: abs(obj - PUB[k]))
+            rel = abs(obj - PUB[best]) / PUB[best]
+            flag = " <== MATCH" if rel < 1e-5 else ""
+            print(f"{name:<28} obj={obj:.7e} closest={best} "
+                  f"rel={rel:.1e}{flag}", flush=True)
+    else:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import osqp_tpu
+
+        for name, wk, bk, lo in [
+            ("AUG2D-w, x>=0", "interior", "ones", 0.0),
+            ("all-w, x>=0", "all", "ones", 0.0),
+        ]:
+            w = weights(wk, n, hidx, vidx)
+            b = rhs(bk)
+            P = sp.diags(w, format="csc")
+            Afull = sp.vstack([A, sp.eye(n)], format="csc")
+            l = np.concatenate([b, np.full(n, lo)])
+            u = np.concatenate([b, np.full(n, np.inf)])
+            res = osqp_tpu.solve_sparse(
+                P, np.zeros(n), Afull, l, u, eps_abs=1e-8, eps_rel=1e-8,
+                max_iter=200000, polish=True, verbose=False,
+                dtype="float64",
+            )
+            obj = float(np.asarray(res.obj_val)[0])
+            st = int(np.asarray(res.status_val)[0])
+            best = min(PUB, key=lambda k: abs(obj - PUB[k]))
+            rel = abs(obj - PUB[best]) / PUB[best]
+            flag = " <== MATCH" if rel < 1e-5 else ""
+            print(f"{name:<28} obj={obj:.7e} st={st} closest={best} "
+                  f"rel={rel:.1e}{flag}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
