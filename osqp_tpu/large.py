@@ -263,7 +263,30 @@ class SparseSolver(Solver):
         self.factor = factor
 
     def export(self, path=None, B: int = 1) -> bytes:
-        raise con.OSQPError(
-            con.ErrorCode.DATA_VALIDATION_ERROR,
-            "AOT export is supported on the dense path only",
+        """AOT-serialize this problem's PATTERN + settings: the
+        artifact's callable takes only value vectors (P_val, q, A_val,
+        l, u) in this solver's CSC order — the parametric EMBEDDED
+        workflow at sparse scale (osqp.c:1031-1062 value semantics).
+        Load with :func:`osqp_tpu.export.load_sparse_solver`."""
+        import dataclasses
+
+        from .export import export_sparse_solver
+        from .solver import Settings
+
+        self._require_setup()
+        blob = export_sparse_solver(
+            self._Pu,
+            self._Ac,
+            B=B,
+            dtype=str(self._dtype),
+            **{
+                f.name: getattr(self.settings, f.name)
+                for f in dataclasses.fields(Settings)
+                if f.name not in ("dtype", "verbose", "time_limit")
+            },
+            verbose=False,
         )
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(blob)
+        return blob

@@ -59,3 +59,45 @@ def test_export_roundtrip_matches_live_solve():
     np.testing.assert_array_equal(
         np.asarray(out["iter"]), np.asarray(live.iter)
     )
+
+
+def test_sparse_pattern_export_roundtrip(tmp_path):
+    """SparseSolver.export bakes the ELL pattern + value maps into the
+    artifact; the callable takes only CSC-order value vectors — the
+    EMBEDDED parametric workflow at sparse scale.  Round-trips through
+    load_sparse_solver and matches the live solver, including after a
+    P-value update pushed through the same artifact."""
+    import scipy.sparse as sp
+
+    import osqp_tpu
+    from osqp_tpu.export import load_sparse_solver
+
+    n = 80
+    rng = np.random.default_rng(5)
+    P = sp.diags(np.abs(rng.standard_normal(n)) + 1.0).tocsc()
+    A = sp.vstack(
+        [sp.eye(n), sp.diags([1.0] * (n - 1), 1).tocsr()[: n - 1]]
+    ).tocsc()
+    q = rng.standard_normal(n)
+    m = A.shape[0]
+    l, u = -np.ones(m), np.ones(m)
+
+    s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False,
+                              dtype="float64")
+    path = tmp_path / "sparse.bin"
+    blob = s.export(path=str(path))
+    assert path.read_bytes() == blob
+    fn = load_sparse_solver(blob)
+
+    Pu = sp.triu(P, format="csc")
+    out = fn(Pu.data, q[None], A.data, l[None], u[None])
+    r = s.solve()
+    assert int(out["status_val"][0]) == 1
+    np.testing.assert_allclose(np.asarray(out["x"])[0], np.asarray(r.x),
+                               atol=1e-6)
+
+    out2 = fn(Pu.data * 2.0, q[None], A.data, l[None], u[None])
+    s.update_P(Px=Pu.data * 2.0)
+    r2 = s.solve()
+    np.testing.assert_allclose(np.asarray(out2["x"])[0], np.asarray(r2.x),
+                               atol=1e-5)
