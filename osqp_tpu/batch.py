@@ -327,6 +327,9 @@ def _solve_segmented(
                 end, lambda: _device_row_info(cfg, scaled, scl, dyn, c)
             )
     else:
+        # Compact mode gathers/re-indexes the working set as instances
+        # finish, so "instance 0" is not a stable row subject; verbose
+        # compact solves print header + footer only.
         verbose = False
 
         def _maybe_row(scaled, scl, c, end):
