@@ -150,6 +150,7 @@ def verified_problems():
     probs.append(ms.dtoc3())
     for k in sorted(ms._LISWET_G):
         probs.append(ms.liswet(k))
+    probs.append(ms.yao())
     return probs
 
 

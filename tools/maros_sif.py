@@ -573,6 +573,38 @@ def dtoc3(T=5000):
                  ) | dict(bounds=(lo, up))
 
 
+def yao(n=2000, k=2):
+    """YAO — k-convex least-squares smoothing (Aixiang Yao, Virginia
+    Tech, May 1995; CUTE YAO.SIF):
+
+        min 1/2 || x - f ||^2   over x in R^(n+k)
+        s.t. Delta^k x >= 0 (n rows), x_1 >= 0.08, x_{n+i} = 0 (i=1..k)
+
+    with f_i = sin(t_i), t_i = i/(n+k).  The grid convention was
+    identified by fingerprint (tools/yao_exact.py): an exact longdouble
+    IPM solve of the t=i/2002 candidate reproduces the published
+    optimum 197.70426 at rel 1.8e-6, 40x closer than the nearest
+    competing convention ((i-1)/2001 at 7.4e-5)."""
+    N = n + k
+    i = np.arange(1, N + 1, dtype=float)
+    b = np.sin(i / N)
+    P = sp.eye(N, format="csc")
+    q = -b
+    const = 0.5 * float(b @ b)
+    # Delta^k rows (k=2: x_i - 2 x_{i+1} + x_{i+2} >= 0)
+    offs = [np.ones(n), -2.0 * np.ones(n), np.ones(n)]
+    A = sp.diags(offs, [0, 1, 2], shape=(n, N), format="csc")
+    lo = np.full(N, -INF)
+    up = np.full(N, INF)
+    lo[0] = 0.08
+    lo[n:] = up[n:] = 0.0  # trailing k variables fixed at 0
+    return _prob("YAO", P, q, A, np.zeros(n), np.full(n, INF),
+                 obj_const=const,
+                 source="Yao k-convex smoothing (CUTE YAO.SIF), "
+                        "f = sin(i/2002); exact-IPM fingerprint rel 1.8e-6"
+                 ) | dict(bounds=(lo, up))
+
+
 def qptest():
     """QPTEST — the worked QPS example printed in the Maros-Meszaros
     paper itself (the repository's 2-variable demo problem).  Optimum
