@@ -83,6 +83,27 @@ UNAVAILABLE = {
     "LISWET5": "g not identified (fingerprint scan inconclusive)",
     "LISWET6": "g not identified (fingerprint scan inconclusive)",
     "LASER": "empirical dataset",
+    # KSIP: structure known (degree-19 polynomial dominating a target
+    # on a 1001-point grid, Kortanek-No semi-infinite QP) but the exact
+    # cost/target pair is not identifiable: a 168-candidate fingerprint
+    # scan (tools/ksip_scan.py: 7 costs x 12 targets x 2 runs) got no
+    # closer than 5.3e-2 rel to the published 0.57579794.
+    "KSIP": "cost/target not identified (fingerprint scan inconclusive)",
+    # UBH1: dimensions pin a 3-D double-integrator control QP (9 vars x
+    # 2001 points, 6x2000 dynamics rows, min 1/2 int ||u||^2), but the
+    # horizon/BC conventions are not identifiable: a 384-candidate
+    # exact-KKT scan (tools/ubh1_scan.py) got no closer than 4.4e-2 rel
+    # to the published 1.1160008.
+    "UBH1": "horizon/BCs not identified (fingerprint scan inconclusive)",
+    # Formula-defined SIFs whose data conventions cannot be recovered
+    # in this environment (no network, SIF text unavailable) and for
+    # which no credible structural hypothesis emerged to scan:
+    "GOULDQP2": "SIF loop data not recoverable without the file",
+    "GOULDQP3": "SIF loop data not recoverable without the file",
+    "HUES-MOD": "SIF data not recoverable without the file",
+    "HUESTIS": "SIF data not recoverable without the file",
+    "STCQP1": "SIF index formulas not recoverable without the file",
+    "STCQP2": "SIF index formulas not recoverable without the file",
     "LOTSCHD": "empirical data",
     "MOSARQP1": "SIF pseudo-random data (generator not pinned)",
     "MOSARQP2": "SIF pseudo-random data (generator not pinned)",

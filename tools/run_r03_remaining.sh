@@ -5,8 +5,11 @@
 # Run from /root/repo when the axon tunnel is healthy.
 set -ex
 
+# --cg-max-iter 1500 bounds the indirect backend's inner loop: the
+# unbounded cap (n+m ~ 2.5e4) stretches a fused 2000-iteration segment
+# past the TPU worker's tolerance on the L instances (see 0026844).
 python tools/run_maros_mm.py --only CVXQP1_L,CVXQP2_L,CVXQP3_L \
-    --out MAROS_r03_L.json
+    --cg-max-iter 1500 --out MAROS_r03_L.json
 python tools/run_maros_mm.py --only POWELL20,DTOC3 \
     --out MAROS_r03_pd.json
 python tools/run_maros_mm.py --only LISWET9,LISWET12 \
