@@ -176,6 +176,15 @@ def solve_batch_jit(
 
 
 # ---------------------------------------------------------------------------
+# Adaptive dispatch-duration band for bounded-dispatch (sparse) solves:
+# grow the fused segment geometrically while dispatches finish under
+# _ADAPT_LO_S, halve when one exceeds _ADAPT_HI_S.  The ceiling stays
+# well under the tunneled TPU worker's kill threshold while keeping
+# host polling cost negligible (one RTT per tens of seconds).
+_ADAPT_LO_S = 10.0
+_ADAPT_HI_S = 45.0
+
+
 # Segmented driver: always-on Ctrl-C / time_limit + optional compaction
 # ---------------------------------------------------------------------------
 # The default solve path.  The device loop runs in host-sized segments so
@@ -362,18 +371,25 @@ def _solve_segmented(
         # max_iter ~ 2e4) gets the TPU worker killed mid-run ("worker
         # process crashed or restarted"), so long-running paths poll at
         # a coarse, cheap cadence instead (osqp_tpu.large sets this).
+        adapt_cap = None
         if verbose or time_limit > 0:
             # rows (and the time-limit poll) need the first dispatch at
             # polling granularity, not the fused whole-range program
             first_end = min(seg, cfg.max_iter)
         elif max_fused_iters:
-            # the per-dispatch bound is exact in both directions: larger
-            # than the polling quantum it coarsens polling (fewer host
-            # round trips on long sparse solves); smaller, it SHORTENS
-            # every dispatch, not just the first (the TPU-worker
-            # watchdog invariant the parameter exists for)
-            seg = int(max_fused_iters)
-            first_end = min(int(max_fused_iters), cfg.max_iter)
+            # Bounded-dispatch mode (the sparse path): a fixed
+            # iteration bound is the wrong unit — dispatch *duration*
+            # is what the TPU worker's watchdog cares about, and the
+            # wall time of one ADMM iteration varies by orders of
+            # magnitude with problem size and inner-CG depth (a 2000-
+            # iteration dispatch is milliseconds on a small problem and
+            # tens of minutes on CVXQP1_L with cg_max_iter=1500).  So
+            # the segment length ADAPTS to measured dispatch time: a
+            # small probe first, then geometric ramp-up while
+            # dispatches stay fast, halving when one runs long.
+            # ``max_fused_iters`` remains the hard iteration cap.
+            adapt_cap = max(int(max_fused_iters), seg)
+            first_end = min(seg, cfg.max_iter)
         else:
             first_end = cfg.max_iter
         try:
@@ -410,6 +426,8 @@ def _solve_segmented(
             end1 = min(first_end + seg, cfg.max_iter)
             c1 = _segment_c(cfg, scaled, scl, dyn, c, end1)
             c = c1  # on interrupt, finalize from the newest bounded segment
+            last_poll = time.perf_counter()
+            seg_compiled = False  # first measured interval includes compile
             while True:
                 if end1 >= cfg.max_iter:
                     c = c1  # finalize applies the MAX_ITER fallback
@@ -418,6 +436,19 @@ def _solve_segmented(
                 c2 = _segment_c(cfg, scaled, scl, dyn, c1, end2)
                 c = c1
                 act = np.asarray(c1.active)  # overlaps c2 on device
+                if adapt_cap is not None:
+                    # Measured ramp: with depth-1 pipelining the time
+                    # between consecutive mask downloads ~= one segment
+                    # of device time, so it directly reads off the
+                    # dispatch duration the worker watchdog sees.
+                    now = time.perf_counter()
+                    dt, last_poll = now - last_poll, now
+                    if not seg_compiled:
+                        seg_compiled = True  # dt included compile; skip
+                    elif dt < _ADAPT_LO_S and seg < adapt_cap:
+                        seg = min(seg * 2, adapt_cap)
+                    elif dt > _ADAPT_HI_S and seg > check:
+                        seg = max(seg // 2, check)
                 _maybe_row(scaled, scl, c1, end1)
                 if not act.any():
                     c = c2  # queued no-op; same state

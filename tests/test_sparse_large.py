@@ -378,11 +378,14 @@ class TestSparseSolverDeviceResident:
         )
         np.testing.assert_allclose(r.x, np.asarray(fresh.x)[0], atol=1e-10)
 
-    def test_export_rejected(self):
+    def test_export_supported(self):
+        """SparseSolver.export is the pattern-baked AOT artifact since
+        round 3 (tests/test_export.py::test_sparse_pattern_export_roundtrip
+        covers the round trip); here just check it produces bytes."""
         P, q, A, l, u = self._problem(n=10)
         s = osqp_tpu.SparseSolver(P=P, q=q, A=A, l=l, u=u, verbose=False)
-        with pytest.raises(osqp_tpu.OSQPError):
-            s.export()
+        blob = s.export()
+        assert isinstance(blob, bytes) and len(blob) > 0
 
 
 def test_sparse_dispatch_cap(monkeypatch):
