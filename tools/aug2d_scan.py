@@ -83,12 +83,15 @@ def rhs(kind, nx=NX, ny=NY):
     return b
 
 
-def solve_eq(w, b, A):
-    """Exact equality-constrained QP: min 0.5 x'Wx s.t. Ax=b via the
-    (regularized) KKT system; tiny sigma lifts the singular zero-weight
-    block, then one Newton correction removes the regularization."""
+def solve_eq(w, b, A, q=None, const=0.0):
+    """Exact equality-constrained QP: min 0.5 x'Wx + q'x + const s.t.
+    Ax=b via the (regularized) KKT system; tiny sigma lifts the
+    singular zero-weight block, then Newton corrections remove the
+    regularization."""
     n = len(w)
     m = len(b)
+    if q is None:
+        q = np.zeros(n)
     obj = None
     for sigma in (1e-8,):
         K = sp.bmat(
@@ -96,16 +99,16 @@ def solve_eq(w, b, A):
             format="csc",
         )
         lu = spla.splu(K)
-        sol = lu.solve(np.concatenate([np.zeros(n), b]))
+        sol = lu.solve(np.concatenate([-q, b]))
         x = sol[:n]
-        # one refinement against the unregularized KKT
+        # refinement against the unregularized KKT
         for _ in range(3):
-            r1 = -(w * x + A.T @ sol[n:])
+            r1 = -(w * x + q + A.T @ sol[n:])
             r2 = b - A @ x
             d = lu.solve(np.concatenate([r1, r2]))
             x = x + d[:n]
             sol = sol + d
-        obj = 0.5 * float(np.sum(w * x * x))
+        obj = 0.5 * float(np.sum(w * x * x)) + float(q @ x) + const
     return obj
 
 
@@ -131,6 +134,68 @@ def main(argv):
             flag = " <== MATCH" if rel < 1e-5 else ""
             print(f"{name:<28} obj={obj:.7e} closest={best} "
                   f"rel={rel:.1e}{flag}", flush=True)
+    elif mode == "eq2":
+        # Second-round hypotheses for AUG2DC: shifted objectives
+        # (SIF groups can carry constants), fractional boundary-edge
+        # weights, and a root-find on the boundary weight — a clean
+        # value landing exactly on the published optimum is evidence,
+        # an arbitrary one rules the family out.
+        target = PUB["AUG2DC"]
+
+        def report(name, obj):
+            rel = abs(obj - target) / target
+            flag = " <== MATCH" if rel < 1e-5 else ""
+            print(f"{name:<36} obj={obj:.7e} rel={rel:.1e}{flag}",
+                  flush=True)
+
+        w_all = weights("all", n, hidx, vidx)
+        w_int = weights("interior", n, hidx, vidx)
+        bmask = (w_all - w_int).astype(bool)  # boundary edges
+        b1 = rhs("ones")
+        b0 = rhs("ring0")
+
+        # shifted objectives: min 0.5 sum (x - c)^2 over a subset
+        q = -1.0 * w_all
+        report("all-w, target 1, b=1",
+               solve_eq(w_all, b1, A, q=q, const=0.5 * n))
+        q = np.where(bmask, -1.0, 0.0)
+        report("int 0.5x^2 + bnd 0.5(x-1)^2, b=1",
+               solve_eq(w_all, b1, A, q=q, const=0.5 * int(bmask.sum())))
+        report("int 0.5x^2 + bnd 0.5(x-1)^2, ring0",
+               solve_eq(w_all, b0, A, q=q, const=0.5 * int(bmask.sum())))
+
+        # fractional boundary weight: root-find wb* with each rhs
+        for bk, b in (("b=1", b1), ("ring0", b0)):
+            pts = []
+            for wb in (0.25, 0.5, 0.75, 1.5):
+                w = w_int + wb * bmask
+                obj = solve_eq(w, b, A)
+                pts.append((wb, obj))
+                report(f"bnd w={wb}, {bk}", obj)
+            # secant through the bracketing pair
+            pts.sort(key=lambda t: t[1])
+            lo = max((p for p in pts if p[1] <= target),
+                     key=lambda t: t[1], default=None)
+            hi = min((p for p in pts if p[1] > target),
+                     key=lambda t: t[1], default=None)
+            if lo and hi:
+                wb = lo[0] + (target - lo[1]) * (hi[0] - lo[0]) / (
+                    hi[1] - lo[1])
+                w = w_int + wb * bmask
+                obj = solve_eq(w, b, A)
+                report(f"bnd w={wb:.6f} (root), {bk}", obj)
+
+        # one-sided boundary weights (only h- or only v-boundary edges)
+        hmask = np.zeros(n, bool)
+        vmask = np.zeros(n, bool)
+        for i in range(1, NX + 1):
+            hmask[hidx(i, 1)] = hmask[hidx(i, NY + 1)] = True
+        for j in range(1, NY + 1):
+            vmask[vidx(1, j)] = vmask[vidx(NX + 1, j)] = True
+        report("int + h-bnd only, b=1", solve_eq(w_int + hmask, b1, A))
+        report("int + v-bnd only, b=1", solve_eq(w_int + vmask, b1, A))
+        report("int + h-bnd only, ring0", solve_eq(w_int + hmask, b0, A))
+        report("int + v-bnd only, ring0", solve_eq(w_int + vmask, b0, A))
     else:
         import jax
 

@@ -125,8 +125,6 @@ UNAVAILABLE = {
     "CONT-200": "PDE-control discretization not pinned (attempted)",
     "CONT-201": "PDE-control discretization not pinned (attempted)",
     "CONT-300": "PDE-control discretization not pinned (attempted)",
-    "AUG2DC": "boundary-objective variant not exactly reproduced "
-              "(best attempt within 1e-4 rel of published optimum)",
     "AUG2DQP": "bounded variant not yet fingerprint-verified",
     "AUG2DCQP": "bounded variant not yet fingerprint-verified",
     "AUG3D": "3-D expanded-system structure not pinned",
@@ -166,6 +164,7 @@ def verified_problems():
                      (3, "S", 100), (3, "M", 1000), (3, "L", 10000)):
         probs.append(ms.cvxqp(v, n, f"CVXQP{v}_{sz}"))
     probs.append(ms.aug2d())
+    probs.append(ms.aug2dc())
     probs.append(ms.qptest())
     probs.append(ms.powell20())
     probs.append(ms.dtoc3())

@@ -401,19 +401,10 @@ def make_all_small():
 # ---------------------------------------------------------------------------
 # AUG2D (expanded-system 2-D framework problem)
 # ---------------------------------------------------------------------------
-def aug2d(nx=100, ny=100):
-    """AUG2D: minimum-norm edge flow on an nx x ny cell grid.
-
-    Variables are the horizontal (nx*(ny+1)) and vertical ((nx+1)*ny)
-    edge values; each cell imposes the divergence equation
-
-        X(i,j+1) - X(i,j) + Y(i+1,j) - Y(i,j) = 1,
-
-    and the objective is 0.5 * sum of squares of the INTERIOR edges
-    (domain-boundary edges carry no objective weight — they are the
-    "expanded" multipliers that absorb the net flux).  Encoding verified
-    against the published optimum 1.6874118e6 (reproduced to 8 digits:
-    1687411.89 — see tools/verify_mm.py history)."""
+def _aug2d_grid(nx, ny):
+    """Shared AUG2D-family grid: edge variables, per-cell divergence
+    rows, and the domain-boundary edge mask.  Returns
+    (A, n, hidx, vidx, bmask)."""
     nh = nx * (ny + 1)
     nv = (nx + 1) * ny
     n = nh + nv
@@ -428,18 +419,68 @@ def aug2d(nx=100, ny=100):
             vals += [1.0, -1.0, 1.0, -1.0]
             r += 1
     A = sp.csr_matrix((vals, (rows, cols)), shape=(r, n)).tocsc()
-    w = np.ones(n)
+    bmask = np.zeros(n, bool)
     for i in range(1, nx + 1):
-        w[hidx(i, 1)] = 0.0
-        w[hidx(i, ny + 1)] = 0.0
+        bmask[hidx(i, 1)] = bmask[hidx(i, ny + 1)] = True
     for j in range(1, ny + 1):
-        w[vidx(1, j)] = 0.0
-        w[vidx(nx + 1, j)] = 0.0
+        bmask[vidx(1, j)] = bmask[vidx(nx + 1, j)] = True
+    return A, n, hidx, vidx, bmask
+
+
+def aug2d(nx=100, ny=100):
+    """AUG2D: minimum-norm edge flow on an nx x ny cell grid.
+
+    Variables are the horizontal (nx*(ny+1)) and vertical ((nx+1)*ny)
+    edge values; each cell imposes the divergence equation
+
+        X(i,j+1) - X(i,j) + Y(i+1,j) - Y(i,j) = 1,
+
+    and the objective is 0.5 * sum of squares of the INTERIOR edges
+    (domain-boundary edges carry no objective weight — they are the
+    "expanded" multipliers that absorb the net flux).  Encoding verified
+    against the published optimum 1.6874118e6 (reproduced to 8 digits:
+    1687411.89 — see tools/verify_mm.py history)."""
+    A, n, hidx, vidx, bmask = _aug2d_grid(nx, ny)
+    w = np.where(bmask, 0.0, 1.0)
     P = sp.diags(w, format="csc")
-    b = np.ones(r)
+    b = np.ones(A.shape[0])
     return _prob("AUG2D", P, np.zeros(n), A, b, b,
                  source="CUTE AUG2D.SIF structure, "
                         "fingerprint-verified vs published optimum"
+                 ) | dict(bounds=([-INF] * n, [INF] * n))
+
+
+def aug2dc(nx=100, ny=100):
+    """AUG2DC: AUG2D with "corrected" (Dirichlet) boundary data — the
+    variant the saddle-point literature uses because its Hessian is
+    positive DEFINITE (every edge weighted).  Boundary edges carry unit
+    objective weight pulled toward the boundary value 1,
+
+        min 0.5 * sum_interior x_e^2  +  0.5 * sum_boundary (x_e - 1)^2,
+
+    and the divergence right-hand side absorbs that boundary data:
+    b_cell = 1 - (#boundary edges of the cell), i.e. interior cells 1,
+    edge cells 0, corner cells -1.  Encoding verified against the
+    published optimum 1.8183681e6 by exact sparse-KKT solve
+    (rel 1.9e-8 — tools/aug2d_scan.py; same 8-digit quality as AUG2D).
+    The expanded quadratic contributes linear terms -1 on boundary
+    edges and the constant 0.5 * #boundary_edges."""
+    A, n, hidx, vidx, bmask = _aug2d_grid(nx, ny)
+    P = sp.eye(n, format="csc")
+    q = np.where(bmask, -1.0, 0.0)
+    obj_const = 0.5 * float(bmask.sum())
+    b = np.ones(A.shape[0])
+    cell = lambda i, j: (i - 1) * ny + (j - 1)
+    for i in range(1, nx + 1):
+        b[cell(i, 1)] -= 1.0
+        b[cell(i, ny)] -= 1.0
+    for j in range(1, ny + 1):
+        b[cell(1, j)] -= 1.0
+        b[cell(nx, j)] -= 1.0
+    return _prob("AUG2DC", P, q, A, b, b, obj_const=obj_const,
+                 source="CUTE AUG2DC.SIF structure (PD-Hessian variant), "
+                        "fingerprint-verified vs published optimum by "
+                        "exact sparse-KKT solve (rel 1.9e-8)"
                  ) | dict(bounds=([-INF] * n, [INF] * n))
 
 
