@@ -11,7 +11,11 @@ Usage: python tools/merge_maros_chunks.py OUT chunk1.json chunk2.json ...
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+INDEX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tests", "data", "maros_mm", "MM_INDEX.json")
 
 
 def main():
@@ -32,6 +36,13 @@ def main():
     rows.sort(key=lambda r: r["name"])
     npass = sum(r["pass"] for r in rows)
     merged = dict(base)
+    # The accounting must come from the CURRENT index, not whichever
+    # chunk happened to be first (chunks embed the accounting as of
+    # their run date; the corpus grows between chunk runs).
+    with open(INDEX) as f:
+        index = json.load(f)
+    merged["unavailable"] = index["unavailable"]
+    merged["counts"] = index["counts"]
     merged.update(
         problems=len(rows),
         passed=npass,
