@@ -183,6 +183,13 @@ def solve_batch_jit(
 # host polling cost negligible (one RTT per tens of seconds).
 _ADAPT_LO_S = 10.0
 _ADAPT_HI_S = 45.0
+# The FIRST dispatch can't be measured before it runs, and one outer
+# ADMM iteration hides up to a cg_max_iter-deep inner loop on the
+# indirect backend, so the probe is budgeted in INNER iterations.
+# Measured on DTOC3 (n=14999, cg cap 1500): a 100-outer first dispatch
+# ran minutes of device time and got the worker killed; ~15k inner
+# iterations stay in the tens of seconds even at worst-case depth.
+_PROBE_INNER_BUDGET = 15_000
 
 
 # Segmented driver: always-on Ctrl-C / time_limit + optional compaction
@@ -384,12 +391,18 @@ def _solve_segmented(
             # magnitude with problem size and inner-CG depth (a 2000-
             # iteration dispatch is milliseconds on a small problem and
             # tens of minutes on CVXQP1_L with cg_max_iter=1500).  So
-            # the segment length ADAPTS to measured dispatch time: a
-            # small probe first, then geometric ramp-up while
-            # dispatches stay fast, halving when one runs long.
-            # ``max_fused_iters`` remains the hard iteration cap.
+            # the segment length ADAPTS to measured dispatch time: an
+            # inner-iteration-budgeted probe first, then geometric
+            # ramp-up from the polling quantum while dispatches stay
+            # fast, halving when one runs long.  ``max_fused_iters``
+            # remains the hard iteration cap on any single dispatch.
             adapt_cap = max(int(max_fused_iters), seg)
-            first_end = min(seg, cfg.max_iter)
+            inner = 1
+            if cfg.linsys_solver == "cg":
+                inner = int(cfg.cg_max_iter) or (cfg.n + cfg.m)
+            probe = max(1, min(seg, _PROBE_INNER_BUDGET // max(inner, 1)))
+            seg = check
+            first_end = min(probe, cfg.max_iter)
         else:
             first_end = cfg.max_iter
         try:
@@ -447,8 +460,11 @@ def _solve_segmented(
                         seg_compiled = True  # dt included compile; skip
                     elif dt < _ADAPT_LO_S and seg < adapt_cap:
                         seg = min(seg * 2, adapt_cap)
-                    elif dt > _ADAPT_HI_S and seg > check:
-                        seg = max(seg // 2, check)
+                    elif dt > _ADAPT_HI_S and seg > 1:
+                        # sub-check segments are fine: termination and
+                        # rho schedules key off the global counter k,
+                        # not segment boundaries (run_segment)
+                        seg = max(seg // 2, 1)
                 _maybe_row(scaled, scl, c1, end1)
                 if not act.any():
                     c = c2  # queued no-op; same state

@@ -125,8 +125,13 @@ UNAVAILABLE = {
     "CONT-200": "PDE-control discretization not pinned (attempted)",
     "CONT-201": "PDE-control discretization not pinned (attempted)",
     "CONT-300": "PDE-control discretization not pinned (attempted)",
-    "AUG2DQP": "bounded variant not yet fingerprint-verified",
-    "AUG2DCQP": "bounded variant not yet fingerprint-verified",
+    "AUG2DQP": "bound structure not identified (exact active-set scan "
+               "over uniform/subset/box bound hypotheses in "
+               "tools/aug2d_qp_scan.py; box bounds provably infeasible, "
+               "uniform-level root-finds land at non-structural values)",
+    "AUG2DCQP": "bound structure not identified (same scan; closest "
+                "candidate AUG2D + x>=-1 within 2.5e-5 rel, short of "
+                "the <1e-5 fingerprint gate)",
     "AUG3D": "3-D expanded-system structure not pinned",
     "AUG3DC": "3-D expanded-system structure not pinned",
     "AUG3DQP": "3-D expanded-system structure not pinned",
