@@ -57,6 +57,13 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # formula (netlib LP bases with added quadratics, measured datasets,
 # random instances whose numbers are baked into the SIF); these cannot
 # be reproduced without the files themselves.
+_CONT_REASON = (
+    "elliptic Dirichlet boundary-control QP; structure and target "
+    "y_d=1+2(x1+x2) identified by scan (rel ~1e-2, tools/cont_scan.py) "
+    "but the alpha/quadrature convention pair is not identifiable to "
+    "the <1e-5 fingerprint gate without the SIF"
+)
+
 UNAVAILABLE = {
     "BOYD1": "empirical data (contributed instance)",
     "BOYD2": "empirical data (contributed instance)",
@@ -119,12 +126,12 @@ UNAVAILABLE = {
     "STADAT2": "empirical data",
     "STADAT3": "empirical data",
     "VALUES": "empirical data",
-    "CONT-050": "PDE-control discretization not pinned (attempted)",
-    "CONT-100": "PDE-control discretization not pinned (attempted)",
-    "CONT-101": "PDE-control discretization not pinned (attempted)",
-    "CONT-200": "PDE-control discretization not pinned (attempted)",
-    "CONT-201": "PDE-control discretization not pinned (attempted)",
-    "CONT-300": "PDE-control discretization not pinned (attempted)",
+    "CONT-050": _CONT_REASON,
+    "CONT-100": _CONT_REASON,
+    "CONT-101": _CONT_REASON + " (x01 variants add 3N state-constraint rows)",
+    "CONT-200": _CONT_REASON,
+    "CONT-201": _CONT_REASON + " (x01 variants add 3N state-constraint rows)",
+    "CONT-300": _CONT_REASON,
     "AUG2DQP": "bound structure not identified (exact active-set scan "
                "over uniform/subset/box bound hypotheses in "
                "tools/aug2d_qp_scan.py; box bounds provably infeasible, "
