@@ -388,6 +388,35 @@ class TestSparseSolverDeviceResident:
         assert isinstance(blob, bytes) and len(blob) > 0
 
 
+def test_sparse_first_dispatch_inner_budget(monkeypatch):
+    """The FIRST dispatch of a bounded-dispatch solve is budgeted in
+    INNER iterations: with a deep cg_max_iter one outer iteration hides
+    a proportionally deep inner loop, and an unbudgeted 100-outer first
+    dispatch ran minutes of device time on DTOC3 (n=14999, cg cap
+    1500) and got the tunneled TPU worker killed.  probe =
+    _PROBE_INNER_BUDGET // cg_depth, floored at one outer iteration."""
+    import osqp_tpu.batch as batch_mod
+
+    seen = []
+    real = batch_mod._start_c
+
+    def spy(cfg_, *args):
+        seen.append((int(getattr(cfg_, "cg_max_iter", 0)), int(args[-1])))
+        return real(cfg_, *args)
+
+    monkeypatch.setattr(batch_mod, "_start_c", spy)
+    P, q, A, l, u = _rand_sparse_qp(30, 40, 0.2, seed=22)
+    # deep explicit cap -> 15000 // 1500 = 10 outer iterations
+    solve_sparse(P, q, A, l, u, verbose=False, max_iter=50000,
+                 eps_abs=1e-6, eps_rel=1e-6, cg_max_iter=1500)
+    # unbounded cap -> depth n+m; still >= 1 outer iteration
+    solve_sparse(P, q, A, l, u, verbose=False, max_iter=50000,
+                 eps_abs=1e-6, eps_rel=1e-6)
+    (cg1, end1), (cg2, end2) = seen
+    assert cg1 == 1500 and end1 == batch_mod._PROBE_INNER_BUDGET // 1500
+    assert cg2 == 0 and 1 <= end2 <= batch_mod._PROBE_INNER_BUDGET
+
+
 def test_sparse_dispatch_cap(monkeypatch):
     """solve_sparse bounds every device dispatch (max_fused_iters): a
     single fused program spanning tens of minutes gets the TPU worker
