@@ -50,12 +50,20 @@ def kkt_check(P, q, A, l, u, x, y, eps_abs=1e-3, eps_rel=1e-3):
         return dict(ok=False, pri_res=np.inf, dua_res=np.inf,
                     pri_tol=0.0, dua_tol=0.0, comp=np.inf, obj=np.nan)
 
-    Pd = _to_dense64(P)
-    if Pd.size:
-        # accept triu or full: symmetrize via triu
-        Pu = np.triu(Pd)
-        Pd = Pu + Pu.T - np.diag(np.diag(Pu))
-    Px = Pd @ x if Pd.size else np.zeros_like(x)
+    if sp.issparse(P):
+        # Stay sparse: densifying P is O(n^2) host memory and OOMs the
+        # checker at the n ~ 1e5 sizes the sparse path solves (the
+        # check itself only needs matvecs).
+        Pu = sp.triu(sp.csr_matrix(P).astype(np.float64))
+        Psym = Pu + Pu.T - sp.diags(Pu.diagonal())
+        Px = np.asarray(Psym @ x).ravel() if Pu.shape[0] else np.zeros_like(x)
+    else:
+        Pd = _to_dense64(P)
+        if Pd.size:
+            # accept triu or full: symmetrize via triu
+            Pu = np.triu(Pd)
+            Pd = Pu + Pu.T - np.diag(np.diag(Pu))
+        Px = Pd @ x if Pd.size else np.zeros_like(x)
     Ax = _matvec(A, x) if y.size else np.zeros(0)
     Aty = _matvec(sp.csr_matrix(A).T if sp.issparse(A)
                   else np.asarray(A, np.float64).T, y) if y.size else np.zeros_like(x)
