@@ -405,6 +405,7 @@ def _solve_segmented(
             first_end = min(probe, cfg.max_iter)
         else:
             first_end = cfg.max_iter
+        t_probe = time.perf_counter()
         try:
             scaled, scl, rho_state, factor, c, res = _start_c(
                 cfg, scaling_iters, do_polish, refine_iter,
@@ -431,6 +432,17 @@ def _solve_segmented(
                 # its speculative result is the answer and the whole
                 # solve was ONE dispatch + one small download.
                 return res
+            if adapt_cap is not None:
+                # Derive the ramp's STARTING segment from the probe's
+                # measured wall time, so dispatch #2 never outruns the
+                # worker watchdog on a problem whose single iteration
+                # is seconds (deep inner CG at n ~ 1e5).  The probe
+                # time includes compile on a cold cache, which inflates
+                # the per-iteration estimate and only makes the start
+                # more conservative; the measured band re-grows it
+                # geometrically within a few polls either way.
+                per_iter = (time.perf_counter() - t_probe) / max(first_end, 1)
+                seg = int(min(seg, max(_ADAPT_LO_S / max(per_iter, 1e-9), 1)))
             # Long solve: depth-1 pipelined polling — enqueue the NEXT
             # segment before downloading the current one's active mask,
             # so the device never idles on the host round trip (an
