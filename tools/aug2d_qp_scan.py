@@ -11,6 +11,19 @@ is exact (f64 KKT residuals ~1e-12), so reproducing the published
 optimum to <1e-5 rel IS the problem.
 
 Usage: python tools/aug2d_qp_scan.py
+
+Findings (round 3, exhaustive bound scan): no simple bound family over
+the verified AUG2D/AUG2DC objectives reproduces the published bounded
+optima (AUG2DQP 6.2370121e6, AUG2DCQP 6.4981348e6).  Scanned exactly:
+x>=v for v in {0,-0.1,-0.25,-0.5,-1,-2,-4} (obj is monotone in v and
+crosses the published values at INCONSISTENT v* — ~-1.7 for the
+AUG2D base vs ~-0.98 for the AUG2DC base, neither clean), interior-only
+x>=0, boundary-only x>=0, and the all-edges-weighted alternative
+objective (ruled out independently: its FREE optimum is 1.8280e6, not
+AUG2D's published 1.6874118e6, so the verified zero-weight-boundary
+encoding is the unique one).  Conclusion: the SIF "QP" variants also
+modify the divergence right-hand side (not recoverable without the
+file), so AUG2DQP/AUG2DCQP stay in the unavailable list.
 """
 
 from __future__ import annotations
