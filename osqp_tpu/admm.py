@@ -106,9 +106,29 @@ def update_rho_state(data: QPData, rs: RhoState) -> tuple[RhoState, jax.Array]:
 # One ADMM iteration (auxil.c:161-225)
 # ---------------------------------------------------------------------------
 def admm_step(
-    backend, factor, data: QPData, dyn: DynSettings, rs: RhoState, it: Iterates
+    backend,
+    factor,
+    data: QPData,
+    dyn: DynSettings,
+    rs: RhoState,
+    it: Iterates,
+    y_lo=None,
 ):
-    """x~/z~ solve + relaxed x/z/y updates. Returns (Iterates, delta_x, delta_y)."""
+    """x~/z~ solve + relaxed x/z/y updates.
+
+    Returns (Iterates, delta_x, delta_y, y_lo).
+
+    ``y_lo`` is the compensated-accumulation carry for the dual ascent
+    (f32 only; None disables).  The dual update ``y += delta_y`` is the
+    one *running accumulation* in the loop: with equality rows at
+    rho_eq = 1e3 rho, |y| reaches 1e4+ on real problems (CVXQP*) and
+    f32 addition then swallows increments below |y| eps ~ 1e-3 — the
+    dual residual plateaus (measured: ~0.85 on CVXQP1_M forever), rho
+    adaptation never fires, and iteration counts explode ~44x vs the
+    f64 reference trajectory.  Knuth TwoSum keeps the swallowed low
+    bits in ``y_lo`` and re-injects them into the next increment, which
+    restores the f64 iteration trajectory at pure-f32 storage cost
+    (one extra (B, m) vector, 5 VPU adds)."""
     x_prev, z_prev, y = it.x, it.z, it.y
     alpha = dyn.alpha
 
@@ -129,9 +149,17 @@ def admm_step(
 
     # update_y (auxil.c:214-225)
     delta_y = rs.rho_vec * (z_relaxed - z)
-    y = y + delta_y
+    if y_lo is None:
+        y = y + delta_y
+    else:
+        # TwoSum(y, delta_y + y_lo): exact sum split into (hi, lo).
+        b = delta_y + y_lo
+        s = y + b
+        bb = s - y
+        y_lo = (y - (s - bb)) + (b - bb)
+        y = s
 
-    return Iterates(x=x, z=z, y=y), delta_x, delta_y
+    return Iterates(x=x, z=z, y=y), delta_x, delta_y, y_lo
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +328,7 @@ class _Carry(NamedTuple):
     info: InfoState
     active: jax.Array  # (B,) bool
     aa: Any = None  # _AAState when cfg.anderson_memory > 0
+    y_lo: Any = None  # (B, m) compensated dual-ascent carry (f32 only)
 
 
 def _apply_check(cfg, data, scl, dyn, c: _Carry, iter_number, approximate=False):
@@ -418,6 +447,14 @@ def init_carry(
             if cfg.anderson_memory > 0
             else None
         ),
+        # Compensated dual accumulation (see admm_step): needed in f32,
+        # a no-op waste in f64; AA replaces y wholesale, so it is
+        # incompatible with a running compensation carry.
+        y_lo=(
+            jnp.zeros((B, cfg.m), dtype)
+            if dtype == jnp.float32 and cfg.anderson_memory == 0
+            else None
+        ),
     )
 
 
@@ -443,37 +480,77 @@ def run_segment(
     def loop_cond(c: _Carry):
         return (c.k <= end_iter) & jnp.any(c.active)
 
-    def loop_body(c: _Carry) -> _Carry:
-        it_new, dx_new, dy_new = admm_step(
-            backend, c.factor, data, dyn, c.rho_state, c.it
-        )
-        if cfg.anderson_memory > 0:
-            aa_new, it_new = _anderson_mix(cfg, data, c, it_new)
-            c = c._replace(aa=aa_new)
-        it_masked = bwhere(c.active, it_new, c.it)
-        c = c._replace(
-            it=it_masked,
-            delta_x=bwhere(c.active, dx_new, c.delta_x),
-            delta_y=bwhere(c.active, dy_new, c.delta_y),
-        )
+    def make_loop_body(refine: bool):
+        if refine:
+            bk_solve = lambda *a, **k: backend.solve(*a, refine=True, **k)
+        else:
+            bk_solve = backend.solve
+        bk = type("_BK", (), {"solve": staticmethod(bk_solve)})
 
-        if check > 0:
-            c = jax.lax.cond(
-                c.k % check == 0,
-                lambda cc: _apply_check(cfg, data, scl, dyn, cc, cc.k),
-                lambda cc: cc,
-                c,
-            )
-        if interval > 0:
-            c = jax.lax.cond(
-                c.k % interval == 0,
-                lambda cc: _apply_rho_adaptation(cfg, data, dyn, cc),
-                lambda cc: cc,
-                c,
-            )
-        return c._replace(k=c.k + 1)
+        # Compensated dual accumulation only in the refined body: the
+        # plain body serves well-conditioned batches that terminate in
+        # tens of iterations, where the extra (B, m) carry traffic costs
+        # ~3% headline throughput for nothing; ill-conditioned runs (the
+        # long ones where f32 swamping in y actually bites) are exactly
+        # the ones routed to the refined body.
+        y_lo_here = refine or getattr(backend, "refine_signal", None) is None
 
-    return jax.lax.while_loop(loop_cond, loop_body, c)
+        def loop_body(c: _Carry) -> _Carry:
+            it_new, dx_new, dy_new, y_lo_new = admm_step(
+                bk, c.factor, data, dyn, c.rho_state, c.it,
+                c.y_lo if y_lo_here else None,
+            )
+            if cfg.anderson_memory > 0:
+                aa_new, it_new = _anderson_mix(cfg, data, c, it_new)
+                c = c._replace(aa=aa_new)
+            it_masked = bwhere(c.active, it_new, c.it)
+            c = c._replace(
+                it=it_masked,
+                delta_x=bwhere(c.active, dx_new, c.delta_x),
+                delta_y=bwhere(c.active, dy_new, c.delta_y),
+                y_lo=(
+                    bwhere(c.active, y_lo_new, c.y_lo)
+                    if y_lo_new is not None
+                    else c.y_lo
+                ),
+            )
+
+            if check > 0:
+                c = jax.lax.cond(
+                    c.k % check == 0,
+                    lambda cc: _apply_check(cfg, data, scl, dyn, cc, cc.k),
+                    lambda cc: cc,
+                    c,
+                )
+            if interval > 0:
+                c = jax.lax.cond(
+                    c.k % interval == 0,
+                    lambda cc: _apply_rho_adaptation(cfg, data, dyn, cc),
+                    lambda cc: cc,
+                    c,
+                )
+            return c._replace(k=c.k + 1)
+
+        return loop_body
+
+    refine_signal = getattr(backend, "refine_signal", None)
+    if refine_signal is None:
+        return jax.lax.while_loop(loop_cond, make_loop_body(False), c)
+
+    # Per-segment precision selection: ill-conditioned batches (some
+    # instance's factor-time inverse residual above the backend's
+    # tolerance) run the refined loop body; everyone else runs the plain
+    # one.  The cond sits OUTSIDE the while_loop — a per-iteration cond
+    # breaks XLA's loop fusion and cost ~32% headline throughput when it
+    # was inside.  The signal is re-evaluated at every segment boundary,
+    # so a mid-segment rho refactorization that changes conditioning is
+    # picked up at the next segment.
+    return jax.lax.cond(
+        refine_signal(c.factor),
+        lambda cc: jax.lax.while_loop(loop_cond, make_loop_body(True), cc),
+        lambda cc: jax.lax.while_loop(loop_cond, make_loop_body(False), cc),
+        c,
+    )
 
 
 def finalize(

@@ -651,6 +651,12 @@ def solve_batch(
     u = clamp(u)
 
     cfg = make_config(n, m, s, dtype)
+    if s.linsys_solver == "block_tridiag" and not any(
+        isinstance(v, jax.core.Tracer) for v in (P, A)
+    ):
+        from .linsys import block_tridiag as _bt
+
+        _bt.validate_structure(np.asarray(P), np.asarray(A), s.block_size)
     dyn = DynSettings.make(
         dtype,
         sigma=s.sigma,

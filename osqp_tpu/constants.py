@@ -96,6 +96,11 @@ RHO_TOL = 1e-4  # tolerance for detecting an inequality set to equality
 DELTA = 1e-6
 POLISH = False
 POLISH_REFINE_ITER = 3
+# Active-set re-guess passes in polish (no reference analogue — the
+# reference does exactly one pass, polish.c:212-350; its single guess at
+# the eps=1e-3 ADMM point measurably fails on e.g. CVXQP*_S, and 1-3
+# re-guess passes recover the true active set: see tools/ref_osqp.py).
+POLISH_PASSES = 4
 VERBOSE = True
 
 SCALED_TERMINATION = False

@@ -73,6 +73,63 @@ def check_block_structure(P, A, sigma, rho_vec, block_size):
     return float(jnp.max(out)) if n else 0.0
 
 
+def validate_structure(P, A, block_size: int, tol: float = 0.0):
+    """Setup-time guard: reject problems whose reduced matrix is NOT
+    block tridiagonal (entries outside the band would be silently
+    ignored by :func:`init` and produce wrong answers with SOLVED
+    status).  Pattern check on |P| + |A|'|A| — conservative for every
+    rho/sigma (no reliance on numeric cancellation, which a later rho
+    update could undo).  Host-side, called from Solver/solve_batch/
+    BatchedSolver setup when ``linsys_solver="block_tridiag"``; raises
+    the reference's data-validation error (osqp.c:82, auxil.c:791)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ..constants import ErrorCode, OSQPError
+
+    b = int(block_size)
+
+    if sp.issparse(P) or sp.issparse(A):
+        Pp = abs(sp.csc_matrix(P))
+        Pp = Pp + Pp.T  # accept triu or full storage
+        Ap = abs(sp.csc_matrix(A))
+        S = (Pp + Ap.T @ Ap).tocoo()
+        n = S.shape[0]
+        if b <= 0 or (n and n % b):
+            raise OSQPError(
+                ErrorCode.DATA_VALIDATION_ERROR,
+                f"block_size {b} must divide n = {n}",
+            )
+        off = np.abs(S.row // b - S.col // b) > 1
+        worst = float(np.max(S.data[off])) if off.any() else 0.0
+    else:
+        P = np.abs(np.asarray(P))
+        A = np.abs(np.asarray(A))
+        if P.ndim == 3:  # union pattern over the batch
+            P = P.max(axis=0)
+        if A.ndim == 3:
+            A = A.max(axis=0)
+        n = P.shape[-1]
+        if b <= 0 or (n and n % b):
+            raise OSQPError(
+                ErrorCode.DATA_VALIDATION_ERROR,
+                f"block_size {b} must divide n = {n}",
+            )
+        S = P + A.T @ A
+        blk = np.arange(n) // b
+        off = np.abs(blk[:, None] - blk[None, :]) > 1
+        worst = float(np.max(np.where(off, S, 0.0))) if n else 0.0
+
+    if worst > tol:
+        raise OSQPError(
+            ErrorCode.DATA_VALIDATION_ERROR,
+            "block_tridiag: P + A'A has entries outside the "
+            f"block-tridiagonal band (block_size={b}, worst out-of-band "
+            f"magnitude {worst:.3e}); this backend would silently drop "
+            "them — use dense_inv/dense_chol/cg, or fix block_size",
+        )
+
+
 def init(P, A, sigma, rho_vec, block_size: int = 0, **_):
     n = P.shape[-1]
     b = int(block_size)

@@ -70,6 +70,22 @@ def _chol_inverse(M):
     )
 
 
+# Per-iteration refinement gate.  An explicit-inverse solve has forward
+# error ~ ||I - XM||; ADMM tolerates ~1e-6 relative subproblem error at
+# default tolerances, but beyond that the error couples into the dual
+# ascent through rho_eq = 1e3 rho and puts a FLOOR under the dual
+# residual (measured on CVXQP1_M f32: dua_res plateaus at ~0.85, rho
+# adaptation never fires, 16.5-20k iterations vs 375 for the exact-solve
+# f64 trajectory).  One matrix-free residual-correction step per solve
+# (3 extra GEMVs) restores the f64-like trajectory: 1625/175/125
+# iterations on CVXQP1_M/2_M/3_S.  The gate below enables it per batch
+# only when some instance's inverse residual exceeds the tolerance —
+# well-conditioned batches (bench class: resid ~5e-7) skip the branch
+# entirely via scalar lax.cond.
+_REFINE_TOL_F32 = 3e-6
+_REFINE_TOL_F64 = 1e-12
+
+
 def init(P, A, sigma, rho_vec, **_):
     M = form_schur(P, A, sigma, rho_vec)
     n = P.shape[-1]
@@ -105,6 +121,14 @@ def init(P, A, sigma, rho_vec, **_):
         Minv = jax.lax.cond(jnp.any(bad), _fallback, lambda ops: ops[1], (M, X))
     else:
         Minv = _chol_inverse(M) if n else M
+        if n:
+            R = jnp.eye(n, dtype=M.dtype) - jnp.einsum(
+                "bij,bjk->bik", M, Minv, preferred_element_type=M.dtype,
+                precision="highest",
+            )
+            resid = jnp.max(jnp.abs(R), axis=(-2, -1))
+        else:
+            resid = jnp.zeros(M.shape[0], M.dtype)
     if A.shape[-2]:
         # (A M^-1)' = M^-1 A' stored transposed, (B, n, m): both
         # per-iteration GEMV reductions then contract the *second-to-last*
@@ -116,10 +140,28 @@ def init(P, A, sigma, rho_vec, **_):
         )
     else:
         AMinvT = jnp.zeros((P.shape[0], n, 0), P.dtype)
-    return {"Minv": Minv, "AMinvT": AMinvT}
+    tol = _REFINE_TOL_F32 if M.dtype == jnp.float32 else _REFINE_TOL_F64
+    # P and sigma ride along by reference (no copies under jit) for the
+    # matrix-free refinement residual M x = P x + sigma x + A'(rho (A x)).
+    return {
+        "Minv": Minv,
+        "AMinvT": AMinvT,
+        "refine": resid > tol,
+        "P": P,
+        "sigma": jnp.asarray(sigma, M.dtype),
+    }
 
 
-def solve(factor, A, rho_vec, rhs_x, rhs_z, x0=None):
+def refine_signal(factor):
+    """Traced scalar: does some instance in this batch need per-solve
+    refinement?  Evaluated ONCE per segment by admm.run_segment (a cond
+    *inside* the hot loop measurably breaks XLA's loop-body fusion:
+    20.1k -> 13.0k QPs/s on the headline bench), selecting between the
+    plain and refined loop bodies."""
+    return jnp.any(factor["refine"])
+
+
+def solve(factor, A, rho_vec, rhs_x, rhs_z, x0=None, refine=False):
     t = rhs_x
     # Single-pass VPU reductions over the sublane axis (see init): the
     # hot GEMV is memory-bound, so one exact-f32 pass over each operand
@@ -127,5 +169,17 @@ def solve(factor, A, rho_vec, rhs_x, rhs_z, x0=None):
     if A.shape[-2]:
         t = t + jnp.sum(A * (rho_vec * rhs_z)[:, :, None], axis=1)
     x_t = jnp.sum(factor["Minv"] * t[:, :, None], axis=1)
+
+    if refine:
+        x = x_t
+        Mx = jnp.sum(factor["P"] * x[:, :, None], axis=1) + factor["sigma"] * x
+        if A.shape[-2]:
+            Ax = jnp.einsum("bmn,bn->bm", A, x, precision="highest")
+            Mx = Mx + jnp.sum(A * (rho_vec * Ax)[:, :, None], axis=1)
+        r = t - Mx
+        x_t = x + jnp.sum(factor["Minv"] * r[:, :, None], axis=1)
+        z_t = jnp.einsum("bmn,bn->bm", A, x_t, precision="highest")
+        return x_t, z_t
+
     z_t = jnp.sum(factor["AMinvT"] * t[:, :, None], axis=1)
     return x_t, z_t

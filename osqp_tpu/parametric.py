@@ -77,6 +77,12 @@ class BatchedSolver:
         m = A.shape[1]
         self.B, self.n, self.m = B, n, m
         self._cfg = make_config(n, m, s, dtype)
+        if s.linsys_solver == "block_tridiag":
+            from .linsys import block_tridiag as _bt
+
+            import numpy as _np
+
+            _bt.validate_structure(_np.asarray(P), _np.asarray(A), s.block_size)
         self._dyn = DynSettings.make(
             dtype,
             sigma=s.sigma,

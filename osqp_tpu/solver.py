@@ -73,6 +73,7 @@ class Settings:
     delta: float = con.DELTA
     polish: bool = bool(con.POLISH)
     polish_refine_iter: int = con.POLISH_REFINE_ITER
+    polish_passes: int = con.POLISH_PASSES
     verbose: bool = bool(con.VERBOSE)
     scaled_termination: bool = bool(con.SCALED_TERMINATION)
     check_termination: int = con.CHECK_TERMINATION
@@ -103,6 +104,8 @@ def validate_settings(s: Settings) -> None:
         raise err("adaptive_rho_tolerance must be >= 1")
     if s.polish_refine_iter < 0:
         raise err("polish_refine_iter must be nonnegative")
+    if s.polish_passes < 1:
+        raise err("polish_passes must be positive")
     if s.rho <= 0.0:
         raise err("rho must be positive")
     if s.sigma <= 0.0:
@@ -177,6 +180,7 @@ def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
         cg_tol_fraction=_cg_backend.link_cg_floor(settings),
         block_size=int(settings.block_size),
         anderson_memory=int(settings.anderson_memory),
+        polish_passes=int(settings.polish_passes),
     )
 
 
@@ -337,6 +341,13 @@ class Solver:
             adaptive_rho_tolerance=self.settings.adaptive_rho_tolerance,
             delta=self.settings.delta,
         )
+
+        if self.settings.linsys_solver == "block_tridiag":
+            # Reject out-of-band structure at setup — init would silently
+            # drop such entries (block_tridiag.validate_structure).
+            from .linsys import block_tridiag as _bt
+
+            _bt.validate_structure(Pu, Ac, self.settings.block_size)
 
         self._push_data_and_factor(rho=self.settings.rho)
 

@@ -118,6 +118,10 @@ class StaticConfig:
     # Opt-in: accelerates the ADMM fixed point with a safeguarded
     # type-II Anderson mix over the last `anderson_memory` steps.
     anderson_memory: int = 0
+    # Active-set polish passes (reference = 1, polish.c:212-350; extra
+    # passes re-guess the set at the polished point and keep the best —
+    # see polish.polish for the measured motivation).
+    polish_passes: int = con.POLISH_PASSES
 
     @property
     def jdtype(self):

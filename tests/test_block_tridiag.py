@@ -89,6 +89,53 @@ def test_init_rejects_bad_block_size():
         block_tridiag.init(P, A, 1e-6, jnp.zeros((1, 0)), block_size=0)
 
 
+def test_setup_rejects_out_of_band_structure():
+    """A problem with coupling outside the block-tridiagonal band must be
+    rejected at setup (DATA_VALIDATION_ERROR), not silently mis-solved
+    (round-3 VERDICT weak #6; block_tridiag.validate_structure)."""
+    from osqp_tpu.constants import OSQPError
+
+    n, b = 8, 2
+    P = np.eye(n)
+    P[0, 6] = P[6, 0] = 0.5  # couples block 0 and block 3: out of band
+    A = np.eye(n)
+    q = np.zeros(n)
+    l = -np.ones(n)
+    u = np.ones(n)
+    with pytest.raises(OSQPError, match="block-tridiagonal"):
+        Solver(
+            P, q, A, l, u,
+            linsys_solver="block_tridiag", block_size=b, verbose=False,
+        )
+    # the same structure through the batched front-ends
+    from osqp_tpu.batch import solve_batch
+    from osqp_tpu.parametric import BatchedSolver
+
+    with pytest.raises(OSQPError, match="block-tridiagonal"):
+        solve_batch(
+            P[None], q[None], A[None], l[None], u[None],
+            linsys_solver="block_tridiag", block_size=b, verbose=False,
+        )
+    with pytest.raises(OSQPError, match="block-tridiagonal"):
+        BatchedSolver(
+            P[None], q[None], A[None], l[None], u[None],
+            linsys_solver="block_tridiag", block_size=b, verbose=False,
+        )
+    # an off-band row in A alone (A'A coupling) is also rejected
+    A2 = np.eye(n)
+    A2[0, 0] = A2[0, 7] = 1.0
+    with pytest.raises(OSQPError, match="block-tridiagonal"):
+        Solver(
+            np.eye(n), q, A2, l, u,
+            linsys_solver="block_tridiag", block_size=b, verbose=False,
+        )
+    # a genuinely banded problem still passes setup
+    Solver(
+        np.eye(n), q, np.eye(n), l, u,
+        linsys_solver="block_tridiag", block_size=b, verbose=False,
+    )
+
+
 def _double_integrator_mpc(N=12):
     dt = 0.1
     Ad = np.array([[1.0, dt], [0.0, 1.0]])

@@ -12,7 +12,8 @@ optimum to <1e-5 rel IS the problem.
 
 Usage: python tools/aug2d_qp_scan.py
 
-Findings (round 3, exhaustive bound scan): no simple bound family over
+Findings (round 3, exhaustive bound scan; the full candidate set below
+is what main() runs): no simple bound family over
 the verified AUG2D/AUG2DC objectives reproduces the published bounded
 optima (AUG2DQP 6.2370121e6, AUG2DCQP 6.4981348e6).  Scanned exactly:
 x>=v for v in {0,-0.1,-0.25,-0.5,-1,-2,-4} (obj is monotone in v and
@@ -136,11 +137,29 @@ def main():
         b = np.asarray(base["l"])
         q = np.asarray(base["q"])
         const = base["obj_const"]
-        for lbval in (0.0,):
+        # Uniform lower-bound sweep (obj is monotone in the level; the
+        # recorded round-3 crossings sit at non-structural v*).
+        for lbval in (0.0, -0.1, -0.25, -0.5, -1.0, -2.0, -4.0):
             cands.append((f"{base_name} + x>={lbval}",
                           w, q, A, b, np.full(len(w), lbval), const))
+        # Subset variants: bound only the interior (positive objective
+        # weight) or only the zero-weight boundary-edge variables.
+        interior_lb = np.where(w > 0, 0.0, -np.inf)
+        boundary_lb = np.where(w == 0, 0.0, -np.inf)
+        cands.append((f"{base_name} + interior x>=0",
+                      w, q, A, b, interior_lb, const))
+        cands.append((f"{base_name} + boundary x>=0",
+                      w, q, A, b, boundary_lb, const))
+        # Two-sided box 0<=x<=1 (SIF QP-suffix convention candidate),
+        # via the box working-set variant.
+        cands.append((f"{base_name} + 0<=x<=1 (box)",
+                      w, q, A, b, ("box", np.zeros(len(w)),
+                                   np.ones(len(w))), const))
     for name, w, q, A, b, lb, const in cands:
-        obj, x, rounds = active_set_lb(w, q, A, b, lb, const)
+        if isinstance(lb, tuple) and lb[0] == "box":
+            obj, x, rounds = active_set_box(w, q, A, b, lb[1], lb[2], const)
+        else:
+            obj, x, rounds = active_set_lb(w, q, A, b, lb, const)
         if obj is None:
             print(f"{name:<24} NO CONVERGENCE in {rounds}", flush=True)
             continue
