@@ -30,7 +30,8 @@ from .admm import set_rho_state
 from .linalg import bwhere, norm_inf, with_high_precision
 from .polish import polish as polish_fn
 from .scaling import scale_data, unscale_solution
-from .solver import Settings, make_config, validate_settings
+from .solver import (Settings, make_config, reject_time_based_rho,
+                     validate_settings)
 from .types import (
     DynSettings,
     Iterates,
@@ -632,6 +633,7 @@ def solve_batch(
     """
     s = Settings(**settings)
     validate_settings(s)
+    reject_time_based_rho(s)
 
     q = jnp.asarray(q)
     if q.ndim != 2:

@@ -27,7 +27,7 @@ import scipy.sparse as sp
 from . import constants as con
 from .batch import BatchSolveResults, _solve_segmented, make_config
 from .sparse_ops import ell_from_scipy
-from .solver import Settings, Solver, validate_settings
+from .solver import Settings, Solver, reject_time_based_rho, validate_settings
 from .types import DynSettings
 
 
@@ -44,6 +44,7 @@ def prepare_sparse(P, q, A, l, u, settings: dict):
     settings.setdefault("linsys_solver", "cg")
     s = Settings(**settings)
     validate_settings(s)
+    reject_time_based_rho(s)
     if s.linsys_solver != "cg":
         raise con.OSQPError(
             con.ErrorCode.SETTINGS_VALIDATION_ERROR,

@@ -92,6 +92,7 @@ def run_maros(
     verbose: bool = True,
     keep_solutions: bool = False,
     cg_max_iter: int = 0,
+    polish_dtype=None,
 ):
     """Solve a QPS file list; returns (per-problem rows, summary).
 
@@ -118,6 +119,10 @@ def run_maros(
         max_iter=max_iter,
         verbose=False,
     )
+    if polish_dtype is not None:
+        # precision-upgraded polish (f64 over an f32 solve) — see
+        # polish.polish; requires jax_enable_x64 for float64
+        settings["polish_dtype"] = polish_dtype
     if dtype is not None:
         settings["dtype"] = dtype
     if cg_max_iter:

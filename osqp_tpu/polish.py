@@ -37,6 +37,8 @@ dimension:
 
 from __future__ import annotations
 
+import dataclasses
+import os
 from typing import NamedTuple
 
 import jax
@@ -52,6 +54,12 @@ from .types import DynSettings, QPData, ScalingData, StaticConfig
 # path (observed: LuDecompositionBlock VMEM-OOMs ~7k on v5e and
 # serializes long before that).
 _SCHUR_KKT_DIM = 2048
+
+
+def dataclasses_replace_polish_dtype(cfg):
+    """cfg with polish_dtype cleared (the recursive upgraded call must
+    not upgrade again)."""
+    return dataclasses.replace(cfg, polish_dtype=None)
 
 
 def _pcg(matvec, b, dinv, tol_rel, max_iter):
@@ -114,7 +122,16 @@ def _make_kkt_solver(n: int, m: int, P, MA, delta, dtype):
         diagS = ell_diagonal(P) + d_eff + ell_sq_colsums(MA, ones_m) / d_eff
         dinv = 1.0 / diagS
         tol_rel = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-7, dtype)
-        cg_iters = jnp.asarray(min(4 * (n + m), 4000), jnp.int32)
+        # Polish runs once per solve, so the CG budget is generous: the
+        # round-3 cap of 4000 silently under-converged the reduced-KKT
+        # solve on DTOC3 (n+m = 25k: polish rejected, objective 2.5e-2
+        # off published); at 4(n+m) (<= 40k) it converges and the
+        # polished objective matches the published optimum to 7 digits.
+        cg_iters = jnp.asarray(
+            int(os.environ.get("OSQP_TPU_POLISH_CG_CAP", "0"))
+            or min(4 * (n + m), 40_000),
+            jnp.int32,
+        )
 
         def matvec_S(v):
             out = mat_vec(P, v) + d_eff * v
@@ -131,7 +148,12 @@ def _make_kkt_solver(n: int, m: int, P, MA, delta, dtype):
 
         return solve
 
-    if n + m <= _SCHUR_KKT_DIM:
+    # TPU's batched-LU custom call has no f64 emulation (measured:
+    # INTERNAL compile error on v5e); the GEMM-only Schur path below is
+    # pure emulated-f64 arithmetic, so f64-on-accelerator routes there
+    # regardless of KKT size.
+    lu_ok = dtype != jnp.float64 or jax.default_backend() == "cpu"
+    if n + m <= _SCHUR_KKT_DIM and lu_ok:
         delta_vec = jnp.full(MA.shape[:-1], delta, dtype)
         factor = kkt_lu._lu_factor(kkt_lu.form_kkt(P, MA, delta, delta_vec))
         return lambda rhs: kkt_lu.solve_raw(factor, rhs)
@@ -201,7 +223,41 @@ def polish(
     is never worse than single-pass polish."""
     B, n = x.shape
     m = cfg.m
-    dtype = x.dtype
+    native_dtype = x.dtype
+    pd = getattr(cfg, "polish_dtype", None)
+    if pd is not None and jnp.dtype(pd) != native_dtype:
+        # Precision-upgraded polish (typically f32 solve + f64 polish):
+        # polish runs ONCE per solve, and the TPU's emulated f64 GEMMs
+        # are genuine double precision at ~1.6x the f32-highest cost
+        # (measured 4.3e-13 matmul error on v5e), so the reduced-KKT
+        # solve + refinement escape the f32 accuracy floor that makes
+        # the acceptance test fail on ill-conditioned problems.
+        # Requires jax_enable_x64 when targeting float64.
+        tgt = jnp.dtype(pd)
+        up = lambda a: (
+            a.astype(tgt) if jnp.issubdtype(a.dtype, jnp.floating) else a
+        )
+        cast = lambda t: jax.tree_util.tree_map(up, t)
+        res = polish(
+            dataclasses_replace_polish_dtype(cfg),
+            cast(data),
+            cast(scl),
+            cast(dyn),
+            up(x),
+            up(z),
+            up(y),
+            up(admm_pri_res),
+            up(admm_dua_res),
+            refine_iter,
+            passes,
+        )
+        down = lambda a: (
+            a.astype(native_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+            else a
+        )
+        return PolishResult(*(down(v) for v in res))
+    dtype = native_dtype
     if passes is None:
         passes = cfg.polish_passes
 

@@ -122,6 +122,11 @@ class StaticConfig:
     # passes re-guess the set at the polished point and keep the best —
     # see polish.polish for the measured motivation).
     polish_passes: int = con.POLISH_PASSES
+    # Run polish in a different precision than the solve (typically
+    # "float64" over an f32 solve: the TPU emulates genuine f64 GEMMs
+    # at ~1.6x f32 cost, and polish runs once per solve).  None = same
+    # dtype as the solve.  float64 requires jax_enable_x64.
+    polish_dtype: str | None = None
 
     @property
     def jdtype(self):

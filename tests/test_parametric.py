@@ -78,3 +78,38 @@ def test_parametric_update_P_A():
         s = osqp_tpu.Solver(P=P2[i], q=q[i], A=A2[i], l=l[i], u=u[i], **kw)
         ri = s.solve()
         assert_allclose(np.asarray(rb.x)[i], ri.x, tol=1e-6)
+
+
+def test_fused_resolve_matches_update_then_solve():
+    """resolve(q, l, u) (one fused device program, parametric._resolve_jit)
+    must be bit-identical to update_lin_cost + update_bounds + solve()."""
+    P, q, A, l, u = random_qps(4, 16, 24, seed=3)
+    a = BatchedSolver(P, q, A, l, u, verbose=False)
+    b = BatchedSolver(P, q, A, l, u, verbose=False)
+    a.solve()
+    b.solve()
+    qn = q * 1.25
+    ln, un = l * 0.9, u * 0.9
+    a.update_lin_cost(qn)
+    a.update_bounds(ln, un)
+    ra = a.solve()
+    rb = b.resolve(q=qn, l=ln, u=un)
+    assert np.array_equal(np.asarray(ra.iter), np.asarray(rb.iter))
+    assert np.array_equal(np.asarray(ra.status_val), np.asarray(rb.status_val))
+    np.testing.assert_array_equal(np.asarray(ra.x), np.asarray(rb.x))
+    # q-only variant (no refactor branch in the program)
+    ra2 = None
+    a.update_lin_cost(q * 0.5)
+    ra2 = a.solve()
+    rb2 = b.resolve(q=q * 0.5)
+    assert np.array_equal(np.asarray(ra2.iter), np.asarray(rb2.iter))
+    np.testing.assert_array_equal(np.asarray(ra2.x), np.asarray(rb2.x))
+    # bounds change that flips constraint classes (forces the fused
+    # refactor path): make two rows equalities
+    l3, u3 = l.copy(), u.copy()
+    l3[:, 0] = u3[:, 0] = 0.1
+    a.update_bounds(l3, u3)
+    ra3 = a.solve()
+    rb3 = b.resolve(l=l3, u=u3)
+    assert np.array_equal(np.asarray(ra3.iter), np.asarray(rb3.iter))
+    np.testing.assert_array_equal(np.asarray(ra3.x), np.asarray(rb3.x))

@@ -83,7 +83,11 @@ UNAVAILABLE = {
     # and a 28-candidate exact-IPM scan (tools/liswet_scan.py,
     # tools/liswet_scan_k.py) found no g reproducing them beyond 2e-5
     # rel — far weaker than the 1e-6..1e-9 fingerprints that verified
-    # the rest of the family, so no assignment is claimed.
+    # the rest of the family, so no assignment is claimed.  Round 4
+    # (tools/liswet_scan26.py, 26 candidates + exact-PAVA K=1 test):
+    # every convex g lands in [24.99979, 25.00000] — narrower than the
+    # published spread 24.9957..25.0343 — and K=1 (isotonic) gives
+    # 24.905; the variants must modify data beyond (g, K).
     "LISWET2": "g not identified (fingerprint scan inconclusive)",
     "LISWET3": "g not identified (fingerprint scan inconclusive)",
     "LISWET4": "g not identified (fingerprint scan inconclusive)",
@@ -139,10 +143,22 @@ UNAVAILABLE = {
     "AUG2DCQP": "bound structure not identified (same scan; closest "
                 "candidate AUG2D + x>=-1 within 2.5e-5 rel, short of "
                 "the <1e-5 fingerprint gate)",
-    "AUG3D": "3-D expanded-system structure not pinned",
-    "AUG3DC": "3-D expanded-system structure not pinned",
-    "AUG3DQP": "3-D expanded-system structure not pinned",
-    "AUG3DCQP": "3-D expanded-system structure not pinned",
+    # AUG3D itself is now pinned (rel 7.6e-9 at the 10^3 grid,
+    # tools/aug3d_scan.py) and lives in the corpus; its variants resist
+    # the same scans that cracked the base problem:
+    "AUG3DC": "PD-corrected convention not identified (tools/"
+              "aug3d_scan.py: the verified AUG2DC recipe — boundary "
+              "faces pulled to 1 with Dirichlet-corrected divergence — "
+              "gives 1025.73 vs published 771.26 at the pinned 10^3 "
+              "grid; scans over target value, correction scale, "
+              "direction subsets, boundary weights and non-cubic grids "
+              "all root-find at non-structural values)",
+    "AUG3DQP": "bound structure not identified (active-set scans over "
+               "uniform/subset/box bounds on the pinned AUG3D base; "
+               "uniform-level crossing at non-structural x >= ~-1.7, "
+               "mirroring the AUG2DQP finding that the QP variants "
+               "also modify the divergence data)",
+    "AUG3DCQP": "blocked on AUG3DC (base 'C' convention unidentified)",
 }
 # netlib-derived Q* problems — all empirical LP bases
 for nm in ("Q25FV47 QADLITTL QAFIRO QBANDM QBEACONF QBORE3D QBRANDY "
@@ -177,6 +193,7 @@ def verified_problems():
         probs.append(ms.cvxqp(v, n, f"CVXQP{v}_{sz}"))
     probs.append(ms.aug2d())
     probs.append(ms.aug2dc())
+    probs.append(ms.aug3d())
     probs.append(ms.qptest())
     probs.append(ms.powell20())
     probs.append(ms.dtoc3())

@@ -484,6 +484,66 @@ def aug2dc(nx=100, ny=100):
                  ) | dict(bounds=([-INF] * n, [INF] * n))
 
 
+def _aug3d_grid(nx, ny, nz):
+    """AUG3D-family grid: face variables on an nx x ny x nz cell grid,
+    one divergence row per cell, domain-boundary face mask."""
+    nxf = (nx + 1) * ny * nz
+    nyf = nx * (ny + 1) * nz
+    nzf = nx * ny * (nz + 1)
+    n = nxf + nyf + nzf
+    xi = lambda i, j, k: ((i - 1) * ny + (j - 1)) * nz + (k - 1)
+    yi = lambda i, j, k: nxf + ((i - 1) * (ny + 1) + (j - 1)) * nz + (k - 1)
+    zi = lambda i, j, k: (
+        nxf + nyf + ((i - 1) * ny + (j - 1)) * (nz + 1) + (k - 1)
+    )
+    rows, cols, vals = [], [], []
+    r = 0
+    for i in range(1, nx + 1):
+        for j in range(1, ny + 1):
+            for k in range(1, nz + 1):
+                rows += [r] * 6
+                cols += [
+                    xi(i + 1, j, k), xi(i, j, k),
+                    yi(i, j + 1, k), yi(i, j, k),
+                    zi(i, j, k + 1), zi(i, j, k),
+                ]
+                vals += [1.0, -1.0, 1.0, -1.0, 1.0, -1.0]
+                r += 1
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(r, n)).tocsc()
+    bmask = np.zeros(n, bool)
+    for j in range(1, ny + 1):
+        for k in range(1, nz + 1):
+            bmask[xi(1, j, k)] = bmask[xi(nx + 1, j, k)] = True
+    for i in range(1, nx + 1):
+        for k in range(1, nz + 1):
+            bmask[yi(i, 1, k)] = bmask[yi(i, ny + 1, k)] = True
+    for i in range(1, nx + 1):
+        for j in range(1, ny + 1):
+            bmask[zi(i, j, 1)] = bmask[zi(i, j, nz + 1)] = True
+    return A, n, bmask
+
+
+def aug3d(nx=10, ny=10, nz=10):
+    """AUG3D: the exact 3-D analogue of the verified AUG2D encoding —
+    minimum-norm face flow on a 10^3 cell grid, per-cell divergence
+    X(i+1,j,k)-X(i,j,k)+Y(i,j+1,k)-Y(i,j,k)+Z(i,j,k+1)-Z(i,j,k) = 1,
+    objective 0.5 * sum of squares of the INTERIOR faces (domain-
+    boundary faces carry no weight).  Fingerprint-verified: the exact
+    KKT solve reproduces the published optimum 5.5406773e2 at
+    554.0677258 (rel 7.6e-9, tools/aug3d_scan.py), pinning the grid at
+    10x10x10 (n = 3300, m = 1000).  The same scan rules out every other
+    cubic grid 4..14 (nearest alternatives off by >45%)."""
+    A, n, bmask = _aug3d_grid(nx, ny, nz)
+    P = sp.diags(np.where(bmask, 0.0, 1.0), format="csc")
+    b = np.ones(A.shape[0])
+    return _prob("AUG3D", P, np.zeros(n), A, b, b,
+                 source="CUTE AUG3D.SIF structure (3-D analogue of the "
+                        "verified AUG2D encoding), fingerprint-verified "
+                        "vs published optimum by exact sparse-KKT solve "
+                        "(rel 7.6e-9, tools/aug3d_scan.py)"
+                 ) | dict(bounds=([-INF] * n, [INF] * n))
+
+
 # ---------------------------------------------------------------------------
 # LISWET family (Li & Swetits k-convex data-smoothing QPs; CUTE SIF
 # LISWET*.SIF).  min 0.5 sum (x_i - b_i)^2  s.t.  x_j - 2x_{j+1} +

@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--cg-max-iter", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU/x64 backend (dev runs)")
+    ap.add_argument("--polish-dtype", type=str, default="float64",
+                    help="polish precision over the solve dtype "
+                         "(f64 polish is cheap: once per solve, and the "
+                         "TPU emulates real f64 GEMMs); 'none' disables")
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated problem subset")
     args = ap.parse_args()
@@ -60,6 +64,14 @@ def main():
     # every 60-120 s remote compile, and a kill mid-compile can wedge
     # the worker; the atomic-write cache makes chunked re-runs cheap.
     enable_compile_cache()
+    # f64 is available on-chip via XLA's emulation (measured genuine
+    # double precision on v5e at ~1.6x f32 GEMM cost) — enable x64 so
+    # the f64-polish/fallback paths exist in this process.
+    jax.config.update("jax_enable_x64", True)
+    if not args.cpu and args.dtype is None:
+        # x64 flips the Settings default dtype to f64; the on-chip
+        # primary stays the fast f32 solve (+f64 polish/fallback)
+        args.dtype = "float32"
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
@@ -93,6 +105,8 @@ def main():
         verbose=False,
         keep_solutions=True,
         cg_max_iter=args.cg_max_iter,
+        polish_dtype=(None if args.polish_dtype.lower() == "none"
+                      else args.polish_dtype),
     )
 
     # Independent KKT verification (pass criterion) + published-optimum
