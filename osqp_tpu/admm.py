@@ -163,159 +163,6 @@ def admm_step(
 
 
 # ---------------------------------------------------------------------------
-# Anderson acceleration (opt-in via cfg.anderson_memory; NO reference
-# analogue — the reference iterates plainly).  Type-II AA on the ADMM
-# fixed-point map v -> T(v), v = [x; z; y]: keep the last `mem`
-# difference pairs (dv_j, df_j) with f(v) = T(v) - v, solve the tiny
-# regularized least-squares  min_g || f_k - dF g ||  per instance, and
-# extrapolate  v+ = T(v_k) - (dV + dF) g.  Safeguards (per instance):
-#   * candidate rejected unless ||g||_1 <= _AA_GAMMA_MAX and finite;
-#   * history resets when the fixed-point residual blows up 100x past
-#     its best since the last reset, or when rho is re-estimated (the
-#     map itself changes);
-#   * delta_x / delta_y stay the PLAIN step's differences, so the
-#     infeasibility certificates keep their DR-iteration meaning.
-# All work is O(B * mem * (n + 2m)) — negligible next to the KKT solve.
-# ---------------------------------------------------------------------------
-_AA_GAMMA_MAX = 5.0
-_AA_BLOWUP = 100.0
-
-
-class _AAState(NamedTuple):
-    dV: jax.Array  # (B, mem, d) newest-last Δv history
-    dF: jax.Array  # (B, mem, d) newest-last Δf history
-    prev_v: jax.Array  # (B, d)
-    prev_f: jax.Array  # (B, d)
-    count: jax.Array  # (B,) int32 — valid pairs (<= mem)
-    seen: jax.Array  # (B,) bool — prev_v/prev_f hold a real point
-    fmin: jax.Array  # (B,) best ||f||_inf since last reset
-
-
-def _aa_fresh(B, n, m, mem, dtype) -> _AAState:
-    d = n + 2 * m
-    return _AAState(
-        dV=jnp.zeros((B, mem, d), dtype),
-        dF=jnp.zeros((B, mem, d), dtype),
-        prev_v=jnp.zeros((B, d), dtype),
-        prev_f=jnp.zeros((B, d), dtype),
-        count=jnp.zeros((B,), jnp.int32),
-        seen=jnp.zeros((B,), bool),
-        fmin=jnp.full((B,), jnp.inf, dtype),
-    )
-
-
-def _flatten_it(it: Iterates):
-    return jnp.concatenate([it.x, it.z, it.y], axis=-1)
-
-
-def _unflatten_it(v, n, m) -> Iterates:
-    return Iterates(x=v[..., :n], z=v[..., n : n + m], y=v[..., n + m :])
-
-
-def _anderson_mix(
-    cfg, data: QPData, c: "_Carry", it_plain: Iterates
-) -> tuple["_AAState", Iterates]:
-    """One safeguarded AA step.  Returns (new aa state, mixed iterates)."""
-    mem = int(cfg.anderson_memory)
-    n, m = cfg.n, cfg.m
-    aa = c.aa
-    act = c.active
-
-    v_k = _flatten_it(c.it)
-    v_plain = _flatten_it(it_plain)
-    f_k = v_plain - v_k
-    fnorm = jnp.max(jnp.abs(f_k), axis=-1)
-
-    # Divergence monitor
-    blown = fnorm > _AA_BLOWUP * aa.fmin
-    count = jnp.where(blown, 0, aa.count)
-    fmin = jnp.where(blown, fnorm, jnp.minimum(aa.fmin, fnorm))
-
-    # Ring update with the newest pair (only where a previous point exists)
-    dv = v_k - aa.prev_v
-    df = f_k - aa.prev_f
-    dV = jnp.concatenate([aa.dV[:, 1:], dv[:, None, :]], axis=1)
-    dF = jnp.concatenate([aa.dF[:, 1:], df[:, None, :]], axis=1)
-    grow = aa.seen[:, None, None]
-    dV = jnp.where(grow, dV, aa.dV)
-    dF = jnp.where(grow, dF, aa.dF)
-    count = jnp.where(aa.seen, jnp.minimum(count + 1, mem), count)
-
-    # Least squares over the valid (newest-last) slots
-    slot = jnp.arange(mem)[None, :] >= (mem - count[:, None])  # (B, mem)
-    dFm = dF * slot[:, :, None]
-    dVm = dV * slot[:, :, None]
-    G = jnp.einsum("bmd,bkd->bmk", dFm, dFm,
-                   preferred_element_type=f_k.dtype, precision="highest")
-    g = jnp.einsum("bmd,bd->bm", dFm, f_k,
-                   preferred_element_type=f_k.dtype, precision="highest")
-    # Tikhonov scaled to G's magnitude; invalid slots pinned to gamma=0
-    tr = jnp.einsum("bmm->b", G)
-    eye = jnp.eye(mem, dtype=f_k.dtype)
-    G = G + (1e-8 * tr[:, None, None] / mem + 1e-12) * eye
-    both = slot[:, :, None] & slot[:, None, :]
-    G = jnp.where(both, G, eye)
-    g = g * slot
-    gamma = _solve_spd_small(G, g)
-
-    v_aa = v_plain - jnp.einsum(
-        "bm,bmd->bd", gamma, dVm + dFm,
-        preferred_element_type=f_k.dtype, precision="highest",
-    )
-    if m:
-        # The mixed z is an unconstrained linear combination and can
-        # leave [l, u]; the termination check's pri_res = ||Ax - z||
-        # relies on the plain-ADMM invariant z in the box (a check
-        # landing on an AA step could otherwise report SOLVED with Ax
-        # outside the bounds).  Clip the z block back to the (scaled)
-        # box before the acceptance test.
-        z_aa = jnp.clip(v_aa[..., n : n + m], data.l, data.u)
-        v_aa = jnp.concatenate(
-            [v_aa[..., :n], z_aa, v_aa[..., n + m :]], axis=-1
-        )
-    ok = (
-        act
-        & (count >= 1)
-        & (jnp.sum(jnp.abs(gamma), axis=-1) <= _AA_GAMMA_MAX)
-        & jnp.all(jnp.isfinite(v_aa), axis=-1)
-    )
-    v_next = jnp.where(ok[:, None], v_aa, v_plain)
-
-    new_aa = _AAState(
-        dV=bwhere(act, dV, aa.dV),
-        dF=bwhere(act, dF, aa.dF),
-        prev_v=bwhere(act, v_k, aa.prev_v),
-        prev_f=bwhere(act, f_k, aa.prev_f),
-        count=jnp.where(act, count, aa.count),
-        seen=jnp.where(act, True, aa.seen),
-        fmin=jnp.where(act, fmin, aa.fmin),
-    )
-    return new_aa, _unflatten_it(v_next, n, m)
-
-
-def _solve_spd_small(G, g):
-    """Batched small-SPD solve via unblocked Cholesky substitution —
-    avoids the LU custom call for a mem x mem system."""
-    L = jnp.linalg.cholesky(G)
-    y = jax.lax.linalg.triangular_solve(
-        L, g[..., None], left_side=True, lower=True
-    )
-    x = jax.lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True
-    )
-    return x[..., 0]
-
-
-def _aa_reset(aa: _AAState, where) -> _AAState:
-    """Invalidate history (rho changed -> the fixed-point map changed)."""
-    return aa._replace(
-        count=jnp.where(where, 0, aa.count),
-        seen=jnp.where(where, False, aa.seen),
-        fmin=jnp.where(where, jnp.inf, aa.fmin),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Solve core
 # ---------------------------------------------------------------------------
 class _Carry(NamedTuple):
@@ -327,7 +174,6 @@ class _Carry(NamedTuple):
     factor: Any
     info: InfoState
     active: jax.Array  # (B,) bool
-    aa: Any = None  # _AAState when cfg.anderson_memory > 0
     y_lo: Any = None  # (B, m) compensated dual-ascent carry (f32 only)
 
 
@@ -416,12 +262,7 @@ def _apply_rho_adaptation(cfg, data, dyn, c: _Carry) -> _Carry:
     rs, factor, info = jax.lax.cond(
         jnp.any(upd), do_update, lambda args: args, (rs, c.factor, info)
     )
-    c = c._replace(rho_state=rs, factor=factor, info=info)
-    if c.aa is not None:
-        # rho changed => the fixed-point map changed; stale AA history
-        # would extrapolate against the wrong operator.
-        c = c._replace(aa=_aa_reset(c.aa, upd))
-    return c
+    return c._replace(rho_state=rs, factor=factor, info=info)
 
 
 def init_carry(
@@ -442,17 +283,11 @@ def init_carry(
         factor=factor,
         info=InfoState.fresh(B, dtype, rho_state.rho),
         active=jnp.ones((B,), bool),
-        aa=(
-            _aa_fresh(B, n, cfg.m, int(cfg.anderson_memory), dtype)
-            if cfg.anderson_memory > 0
-            else None
-        ),
         # Compensated dual accumulation (see admm_step): needed in f32,
-        # a no-op waste in f64; AA replaces y wholesale, so it is
-        # incompatible with a running compensation carry.
+        # a no-op waste in f64.
         y_lo=(
             jnp.zeros((B, cfg.m), dtype)
-            if dtype == jnp.float32 and cfg.anderson_memory == 0
+            if dtype == jnp.float32
             else None
         ),
     )
@@ -500,9 +335,6 @@ def run_segment(
                 bk, c.factor, data, dyn, c.rho_state, c.it,
                 c.y_lo if y_lo_here else None,
             )
-            if cfg.anderson_memory > 0:
-                aa_new, it_new = _anderson_mix(cfg, data, c, it_new)
-                c = c._replace(aa=aa_new)
             it_masked = bwhere(c.active, it_new, c.it)
             c = c._replace(
                 it=it_masked,

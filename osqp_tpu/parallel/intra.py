@@ -14,9 +14,11 @@ SPMD partitioner inserts the collectives (the scaling-book recipe: pick
 a mesh, annotate shardings, let XLA do the rest).  The factor-free cg
 backend means there is no sharded Cholesky to write.
 
-Polish: the DENSE sharded-single path disables it (its reduced KKT is
-a dense (n+m)^2 factorization); the SPARSE sharded path runs the
-matrix-free reduced-KKT CG polish under the same shardings.
+Polish runs on BOTH sharded paths: the sparse one via the matrix-free
+reduced-KKT CG (ELL branch of polish._make_kkt_solver) and the dense
+one via the Schur branch, whose AtA contraction partitions over the
+row shards (XLA inserts the psum) — the cg-backend flag routes polish
+away from the unpartitionable batched-LU custom call.
 """
 
 from __future__ import annotations
@@ -50,11 +52,6 @@ def solve_single_sharded(
     """
     from ..constants import ErrorCode, OSQPError
 
-    if settings.get("polish"):
-        raise OSQPError(
-            ErrorCode.SETTINGS_VALIDATION_ERROR,
-            "polish is not supported on the sharded-single path",
-        )
     settings.setdefault("linsys_solver", "cg")
     if settings["linsys_solver"] != "cg":
         raise OSQPError(

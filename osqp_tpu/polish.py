@@ -101,8 +101,14 @@ def _pcg(matvec, b, dinv, tol_rel, max_iter):
     return x
 
 
-def _make_kkt_solver(n: int, m: int, P, MA, delta, dtype):
-    """Returns solve(rhs (B, n+m)) -> (B, n+m) applying K_delta^-1."""
+def _make_kkt_solver(n: int, m: int, P, MA, delta, dtype, prefer_schur=False):
+    """Returns solve(rhs (B, n+m)) -> (B, n+m) applying K_delta^-1.
+
+    ``prefer_schur`` skips the batched-LU branch even for small KKTs —
+    used when the solve ran on the cg backend: those problems are large
+    and/or SHARDED over a mesh (parallel/intra.py), and the Schur path's
+    GEMMs partition under XLA SPMD (the AtA contraction psums over row
+    shards) while the LU custom call does not."""
     from .sparse_ops import ELLMatrix, ell_diagonal, ell_sq_colsums
 
     if isinstance(P, ELLMatrix):
@@ -152,7 +158,10 @@ def _make_kkt_solver(n: int, m: int, P, MA, delta, dtype):
     # INTERNAL compile error on v5e); the GEMM-only Schur path below is
     # pure emulated-f64 arithmetic, so f64-on-accelerator routes there
     # regardless of KKT size.
-    lu_ok = dtype != jnp.float64 or jax.default_backend() == "cpu"
+    lu_ok = (
+        not prefer_schur
+        and (dtype != jnp.float64 or jax.default_backend() == "cpu")
+    )
     if n + m <= _SCHUR_KKT_DIM and lu_ok:
         delta_vec = jnp.full(MA.shape[:-1], delta, dtype)
         factor = kkt_lu._lu_factor(kkt_lu.form_kkt(P, MA, delta, delta_vec))
@@ -280,7 +289,10 @@ def polish(
 
         # K_delta = [P + delta I, (MA)'; MA, -delta I] with param1 =
         # param2 = delta (qdldl_interface.c:261-267); LU or Schur by dim.
-        solve_kkt = _make_kkt_solver(n, m, data.P, MA, dyn.delta, dtype)
+        solve_kkt = _make_kkt_solver(
+            n, m, data.P, MA, dyn.delta, dtype,
+            prefer_schur=cfg.linsys_solver == "cg",
+        )
 
         # rhs_red = [-q; l_low, u_upp] masked fixed-shape (polish.c:105-121)
         rhs_z = mask * jnp.where(lower, data.l, jnp.where(upper, data.u, 0.0))

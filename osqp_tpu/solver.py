@@ -93,8 +93,6 @@ class Settings:
     cg_tol_fraction: float = 1e-7
     # Stage-block size for the block_tridiag (MPC/OCP) backend
     block_size: int = 0
-    # Anderson acceleration memory (0 = off; no reference analogue).
-    anderson_memory: int = 0
 
 
 def validate_settings(s: Settings) -> None:
@@ -157,8 +155,6 @@ def validate_settings(s: Settings) -> None:
         raise err("warm_start must be either 0 or 1")
     if s.time_limit < 0:
         raise err("time_limit must be nonnegative")
-    if not (0 <= int(s.anderson_memory) <= 25):
-        raise err("anderson_memory must be in [0, 25]")
 
 
 def reject_time_based_rho(s: Settings) -> None:
@@ -215,7 +211,6 @@ def make_config(n: int, m: int, settings: Settings, dtype) -> StaticConfig:
         # tolerances are allowed individually; only positive ones bind.
         cg_tol_fraction=_cg_backend.link_cg_floor(settings),
         block_size=int(settings.block_size),
-        anderson_memory=int(settings.anderson_memory),
         polish_passes=int(settings.polish_passes),
         polish_dtype=(None if settings.polish_dtype is None else str(jnp.dtype(settings.polish_dtype))),
     )

@@ -114,10 +114,6 @@ class StaticConfig:
     cg_tol_fraction: float = 1e-7
     # Stage-block size for the block_tridiag (MPC/OCP) backend.
     block_size: int = 0
-    # Anderson acceleration memory (0 = off, the reference behaviour).
-    # Opt-in: accelerates the ADMM fixed point with a safeguarded
-    # type-II Anderson mix over the last `anderson_memory` steps.
-    anderson_memory: int = 0
     # Active-set polish passes (reference = 1, polish.c:212-350; extra
     # passes re-guess the set at the polished point and keep the best —
     # see polish.polish for the measured motivation).
