@@ -135,8 +135,16 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
     import time as _time
 
     t0 = _time.perf_counter()
+    # B = 1 polishes on the HOST (exact sparse KKT, polish_host.py):
+    # the device's matrix-free CG polish needs up to tens of thousands
+    # of iterations on hard masked KKTs (DTOC3), and that fused final
+    # dispatch is what crashed the TPU worker watchdog on AUG2D-sized
+    # f64 programs.  Multi-instance sparse batches keep the on-device
+    # CG polish (their per-instance systems share the dispatch).
+    host_polish = bool(s.polish) and B == 1
     res = _solve_segmented(
-        cfg, int(s.scaling), bool(s.polish), int(s.polish_refine_iter),
+        cfg, int(s.scaling), bool(s.polish) and not host_polish,
+        int(s.polish_refine_iter),
         P_ell, jnp.asarray(q, dtype), A_ell,
         jnp.asarray(l, dtype), jnp.asarray(u, dtype),
         rho0, dyn, x0, y0,
@@ -148,6 +156,35 @@ def solve_sparse(P, q, A, l, u, x0=None, y0=None, **settings) -> BatchSolveResul
         max_fused_iters=2000,
         verbose=bool(s.verbose),
     )
+    if host_polish:
+        import numpy as np
+
+        from . import constants as con
+        from .polish_host import polish_host
+
+        if int(np.asarray(res.status_val)[0]) == con.OSQP_SOLVED:
+            ok, x_p, y_p, obj, pri, dua = polish_host(
+                P, A, np.asarray(q)[0], np.asarray(l)[0], np.asarray(u)[0],
+                np.asarray(res.x)[0], np.asarray(res.y)[0],
+                float(np.asarray(res.pri_res)[0]),
+                float(np.asarray(res.dua_res)[0]),
+                delta=float(s.delta),
+                refine_iter=int(s.polish_refine_iter),
+                passes=int(s.polish_passes),
+            )
+            if ok:
+                res = res._replace(
+                    x=jnp.asarray(x_p, dtype)[None],
+                    y=jnp.asarray(y_p, dtype)[None],
+                    obj_val=jnp.asarray([obj], dtype),
+                    pri_res=jnp.asarray([pri], dtype),
+                    dua_res=jnp.asarray([dua], dtype),
+                    status_polish=jnp.asarray([1], jnp.int32),
+                )
+            else:
+                res = res._replace(
+                    status_polish=jnp.asarray([-1], jnp.int32)
+                )
     if s.verbose:
         from .utils.printing import print_batch_footer
 

@@ -51,12 +51,35 @@ def init(P, A, sigma, rho_vec, cg_max_iter: int = 0, cg_tol_fraction: float = 1e
         "tol_frac": jnp.asarray(cg_tol_fraction, P.dtype),
         # Adaptive inexact-ADMM relative tolerance, driven by the outer
         # residuals at every termination check (see update_tolerance).
-        # Starts at the conservative static fraction.
-        "tol_rel": jnp.full((B,), cg_tol_fraction, P.dtype),
+        # Starts at the static fraction, capped by the dtype's
+        # loosening/exactness cap.
+        "tol_rel": jnp.full(
+            (B,),
+            min(float(cg_tol_fraction), _cap_for(jnp.dtype(P.dtype))),
+            P.dtype,
+        ),
     }
 
 
-_TOL_REL_CAP = 1e-2  # never solve the subproblem looser than 1% relative
+# Loosening caps for the inexact-ADMM schedule, by dtype (round-4
+# measurements on the corpus, tools logs in docs/performance.md):
+#
+# * f64: cap 1e-8 — effectively near-exact solves.  Measured: CVXQP1_L
+#   collapses 18,300 -> 675 outer iterations (the loose schedule
+#   DEADLOCKS on ill-conditioned problems: the inexactness floors the
+#   dual residual, which keeps the tolerance ratio large, which keeps
+#   the solves loose), while the well-conditioned banded-30k control
+#   and LISWET1 are unchanged in iterations AND wall time (warm-started
+#   CG near convergence exits in a few steps regardless of cap).
+# * f32: cap 1e-2 as before — tolerances below ~1e-7 are unreachable in
+#   f32 (CG would burn its full inner budget stagnating at the
+#   precision floor), so loose early solves remain the right trade.
+_TOL_REL_CAP_F32 = 1e-2
+_TOL_REL_CAP_F64 = 1e-8
+
+
+def _cap_for(dtype):
+    return _TOL_REL_CAP_F32 if dtype == jnp.float32 else _TOL_REL_CAP_F64
 
 
 def link_cg_floor(settings) -> float:
@@ -88,7 +111,11 @@ def update_tolerance(factor, tol_ratio, dyn):
     future work (ROADMAP.md:2); this schedule is what makes it
     competitive at large n."""
     tf = factor["tol_frac"]
-    tol = jnp.clip(tf * tol_ratio.astype(factor["dinv"].dtype), tf, _TOL_REL_CAP)
+    dtype = factor["dinv"].dtype
+    cap = jnp.asarray(_cap_for(dtype), dtype)
+    tol = jnp.clip(
+        tf * tol_ratio.astype(dtype), jnp.minimum(tf, cap), cap
+    )
     return {**factor, "tol_rel": tol}
 
 

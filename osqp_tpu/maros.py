@@ -56,8 +56,23 @@ SPARSE_N_CUTOFF = 4096
 
 def _solve_one_sparse(qp, settings):
     """One large problem through the never-densifying path (polish runs
-    matrix-free there since round 3, polish.py:_make_kkt_solver)."""
+    matrix-free there since round 3, polish.py:_make_kkt_solver).
+
+    Sparse problems run at f64 whenever the process has x64: the cg
+    backend's subproblem accuracy bounds the trajectory (round-4
+    measurement: CVXQP1_L needs ~1e-8-relative KKT solves for the
+    reference's 650-iteration trajectory — 18,300 iterations without
+    them — and f32 cannot reach that floor).  The f64 is the TPU's
+    emulated double (genuine f64, measured 4.3e-13), and the CG path
+    is gather/elementwise-bound so the cost is a small multiple."""
+    import jax as _jax
+
     from .large import solve_sparse
+
+    if _jax.config.jax_enable_x64:
+        settings = dict(settings)
+        settings["dtype"] = "float64"
+        settings.pop("polish_dtype", None)  # same dtype already
 
     t = time.perf_counter()
     res = solve_sparse(qp.P, qp.q, qp.A, qp.l, qp.u, **settings)

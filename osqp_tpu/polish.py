@@ -233,6 +233,17 @@ def polish(
     B, n = x.shape
     m = cfg.m
     native_dtype = x.dtype
+    from .sparse_ops import ELLMatrix as _ELL
+
+    if passes is None and isinstance(data.A, _ELL):
+        # Sparse/ELL operands: single pass.  Multi-pass re-guessing has
+        # never rescued an ELL-path problem (the sparse failures —
+        # LISWET/YAO/POWELL20 — fail for the reference algorithm too,
+        # PARITY_REF.json; DTOC3 was fixed by CG depth, not passes),
+        # and each extra pass multiplies the final fused dispatch's CG
+        # work, which at n ~ 2e4 in f64 is what crashed the TPU worker
+        # watchdog (round-4 AUG2D incident).
+        passes = 1
     pd = getattr(cfg, "polish_dtype", None)
     if pd is not None and jnp.dtype(pd) != native_dtype:
         # Precision-upgraded polish (typically f32 solve + f64 polish):
