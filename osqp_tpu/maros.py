@@ -52,6 +52,25 @@ def collect_paths(args_paths):
 # (ELL operands, cg) instead of the dense bucketed batch — the dense
 # embedding is wasteful past a few thousand and impossible at 1e4+.
 SPARSE_N_CUTOFF = 4096
+# Mid-size problems that are STRUCTURALLY sparse also route through the
+# sparse path above this size: the dense embedding both wastes HBM and
+# can be f32-hostile (AUG3D: a diagonal P with zero weights on boundary
+# faces conditions the dense f32 factor past the residual guard, forcing
+# the f64 fallback; the ELL path solves it in f64 with host polish to
+# 8-digit objective agreement).
+SPARSE_MIN_N = 2048
+SPARSE_DENSITY = 5e-3
+
+
+def _route_sparse(qp) -> bool:
+    if max(qp.n, qp.m) > SPARSE_N_CUTOFF:
+        return True
+    if max(qp.n, qp.m) <= SPARSE_MIN_N:
+        return False
+    import scipy.sparse as _sp
+
+    nnz = _sp.csc_matrix(qp.P).nnz + _sp.csc_matrix(qp.A).nnz
+    return nnz <= SPARSE_DENSITY * (qp.n * qp.n + qp.m * qp.n)
 
 
 def _solve_one_sparse(qp, settings):
@@ -152,7 +171,7 @@ def run_maros(
         from .solver import Solver
 
         for qp in problems:
-            if max(qp.n, qp.m) > SPARSE_N_CUTOFF:
+            if _route_sparse(qp):
                 # densifying these would be multi-GB; same routing as
                 # the batched branch
                 rows.append(_solve_one_sparse(qp, settings))
@@ -183,7 +202,7 @@ def run_maros(
         # through the bucketed dense batch.  Rows stay in input order.
         dense_idx = [
             i for i, qp in enumerate(problems)
-            if max(qp.n, qp.m) <= SPARSE_N_CUTOFF
+            if not _route_sparse(qp)
         ]
         dense_res = solve_problems(
             [
@@ -240,8 +259,8 @@ def run_maros(
         ]
         # Large problems retry through the sparse path too (densifying
         # them in the fallback would defeat the routing).
-        retry_sp = [t for t in retry if max(t[1].n, t[1].m) > SPARSE_N_CUTOFF]
-        retry = [t for t in retry if max(t[1].n, t[1].m) <= SPARSE_N_CUTOFF]
+        retry_sp = [t for t in retry if _route_sparse(t[1])]
+        retry = [t for t in retry if not _route_sparse(t[1])]
         if retry_sp:
             from .buckets import fallback_context
 
