@@ -309,33 +309,58 @@ def polish(
         rhs_z = mask * jnp.where(lower, data.l, jnp.where(upper, data.u, 0.0))
         sol = solve_kkt(jnp.concatenate([-data.q, rhs_z], axis=-1))
 
-        # Iterative refinement vs the unregularized KKT (polish.c:134-181)
-        def refine(_, sol):
+        def eval_point(sol):
+            """Recover (x,z,y), project, and measure true residuals at a
+            refinement iterate (get_ypol_from_yred polish.c:188-210 +
+            project_normalcone proj.c:16-29 + update_info polish=1)."""
+            x_pol = sol[..., :n]
+            y_pol = mask * sol[..., n:]
+            z_pol = mat_vec(data.A, x_pol)  # polish.c:291
+            zy = z_pol + y_pol
+            z_pol = jnp.clip(zy, data.l, data.u)
+            y_pol = zy - z_pol
+            pr = compute_products(data, x_pol, z_pol, y_pol)
+            pri_res, dua_res = residual_norms(cfg, scl, pr)
+            finite = (
+                jnp.all(jnp.isfinite(x_pol), axis=-1)
+                & (
+                    jnp.all(jnp.isfinite(y_pol), axis=-1)
+                    if m
+                    else jnp.ones((B,), bool)
+                )
+                & jnp.isfinite(pri_res)
+                & jnp.isfinite(dua_res)
+            )
+            return x_pol, z_pol, y_pol, pri_res, dua_res, finite
+
+        # Iterative refinement vs the unregularized KKT (polish.c:134-181),
+        # keeping the per-instance BEST step including step 0: when the
+        # guessed active rows are dependent (degenerate actives, the
+        # CVXQP/LISWET classes) the unregularized target is singular and
+        # refinement diverges, while the delta-regularized step-0 solve
+        # already has O(delta)-level true residuals (tools/polish_lab.py:
+        # CVXQP2_M step 3 dua 6.3e+2 vs re-guessed step 0 dua 1.6e-2).
+        best = eval_point(sol)
+
+        def refine(_, carry):
+            sol, best = carry
             sx, snu = sol[..., :n], sol[..., n:]
             r_x = -data.q - (mat_vec(data.P, sx) + mat_tvec(MA, snu))
             r_z = rhs_z - mat_vec(MA, sx)
             d = solve_kkt(jnp.concatenate([r_x, r_z], axis=-1))
-            return sol + d
+            sol = sol + d
+            cand = eval_point(sol)
+            b_score = jnp.maximum(best[3], best[4])
+            c_score = jnp.maximum(cand[3], cand[4])
+            better = cand[5] & (c_score < b_score)
+            bsel = lambda c, b: jnp.where(
+                better[:, None] if c.ndim == 2 else better, c, b
+            )
+            best = tuple(bsel(c, b) for c, b in zip(cand, best))
+            return sol, best
 
-        sol = jax.lax.fori_loop(0, refine_iter, refine, sol)
-
-        x_pol = sol[..., :n]
-        y_pol = mask * sol[..., n:]  # get_ypol_from_yred (polish.c:188-210)
-        z_pol = mat_vec(data.A, x_pol)  # polish.c:291
-
-        # project_normalcone (proj.c:16-29)
-        zy = z_pol + y_pol
-        z_pol = jnp.clip(zy, data.l, data.u)
-        y_pol = zy - z_pol
-
-        # Residuals at the polished point (update_info w/ polish=1)
-        pr = compute_products(data, x_pol, z_pol, y_pol)
-        pri_res, dua_res = residual_norms(cfg, scl, pr)
-        finite = (
-            jnp.all(jnp.isfinite(x_pol), axis=-1)
-            & (jnp.all(jnp.isfinite(y_pol), axis=-1) if m else jnp.ones((B,), bool))
-        )
-        return x_pol, z_pol, y_pol, pri_res, dua_res, finite
+        _, best = jax.lax.fori_loop(0, refine_iter, refine, (sol, best))
+        return best
 
     inf = jnp.full((B,), jnp.inf, dtype)
     # carry: best-(x,z,y,pri,dua) so far + the point the next pass

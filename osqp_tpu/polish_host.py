@@ -64,18 +64,38 @@ def _reduced_kkt_polish(P, A, q, l, u, x, z, y, delta, refine_iter):
         [[P, Ared.T], [Ared, sp.csc_matrix((k, k)) if k else None]],
         format="csc",
     )
+
+    def eval_point(sol):
+        x_p = sol[:n]
+        y_p = np.zeros(m)
+        y_p[act] = sol[n:]
+        z_p = A @ x_p
+        zy = z_p + y_p
+        z_p = np.clip(zy, l, u)
+        y_p = zy - z_p
+        pri = float(np.linalg.norm(A @ x_p - z_p, np.inf)) if m else 0.0
+        dua = float(np.linalg.norm(P @ x_p + q + A.T @ y_p, np.inf))
+        return x_p, z_p, y_p, pri, dua
+
+    # Keep the best refinement step INCLUDING step 0: the refinement
+    # target K0 drops the delta regularization (polish.c:161-177), and
+    # when the guessed Ared has dependent rows (degenerate actives —
+    # the CVXQP/LISWET classes) K0 is singular and refinement DIVERGES,
+    # while the delta-regularized step-0 solution already has
+    # O(delta)-level true residuals.  Measured on CVXQP2_M: step 3
+    # dua = 6.3e+2, step 0 of the re-guessed pass dua = 1.6e-2
+    # (accepted); see tools/polish_lab.py.
+    best = eval_point(sol)
     for _ in range(refine_iter):
+        if not np.all(np.isfinite(sol)):
+            break
         sol = sol + lu.solve(b - K0 @ sol)
-    x_p = sol[:n]
-    y_p = np.zeros(m)
-    y_p[act] = sol[n:]
-    z_p = A @ x_p
-    zy = z_p + y_p
-    z_p = np.clip(zy, l, u)
-    y_p = zy - z_p
-    pri = float(np.linalg.norm(A @ x_p - z_p, np.inf)) if m else 0.0
-    dua = float(np.linalg.norm(P @ x_p + q + A.T @ y_p, np.inf))
-    return x_p, z_p, y_p, pri, dua
+        cand = eval_point(sol)
+        if np.isfinite(max(cand[3], cand[4])) and max(cand[3], cand[4]) < max(
+            best[3], best[4]
+        ):
+            best = cand
+    return best
 
 
 def polish_host(

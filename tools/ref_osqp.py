@@ -122,10 +122,21 @@ def polish(P, A, q, l, u, x, z, y, cinv, Dinv, Einv, delta=1e-6, refine_iter=3):
 
     Returns (success, x, z, y, pri_res, dua_res) in SCALED space with
     UNSCALED residual norms (update_info(..., polish=1) semantics)."""
-    n = P.shape[0]
-    m = A.shape[0]
     lower = (z - l) < -y
     upper = (u - z) < y
+    return polish_with_set(
+        P, A, q, l, u, lower, upper, cinv, Dinv, Einv, delta, refine_iter
+    )
+
+
+def polish_with_set(
+    P, A, q, l, u, lower, upper, cinv, Dinv, Einv, delta=1e-6, refine_iter=3
+):
+    """The reduced-KKT solve of polish.c:105-350 for a GIVEN active-set
+    guess (lower/upper boolean row masks) — lets experiments swap the
+    guess rule (polish.c:33-49) while keeping the solve identical."""
+    n = P.shape[0]
+    m = A.shape[0]
     act = lower | upper
     k = int(act.sum())
     Ared = A[act]
@@ -140,7 +151,7 @@ def polish(P, A, q, l, u, x, z, y, cinv, Dinv, Einv, delta=1e-6, refine_iter=3):
     try:
         lu = spla.splu(K)
     except RuntimeError:
-        return False, x, z, y, np.inf, np.inf
+        return False, None, None, None, np.inf, np.inf
     b = np.concatenate([-q, rhs_red])
     sol = lu.solve(b)
     K0 = sp.bmat(
@@ -183,6 +194,7 @@ def ref_solve(
     do_polish=True,
     delta=1e-6,
     polish_refine_iter=3,
+    return_workspace=False,
 ):
     """Reference osqp_solve (osqp.c:288-654) at f64.
 
@@ -359,6 +371,20 @@ def ref_solve(
             status_polish = -1
 
     obj = cinv * (0.5 * x @ (P_s @ x) + qs @ x)
+    if return_workspace:
+        # Scaled data + scaled terminal iterates, for polish experiments
+        # (tools/polish_lab.py) that re-run the reduced-KKT solve with
+        # alternative active-set guesses.
+        return dict(
+            status=status,
+            iter=it,
+            status_polish=status_polish,
+            pri_res=pri_res,
+            dua_res=dua_res,
+            Ps=P_s, As=A_s, qs=qs, ls=ls, us=us,
+            xs=x, zs=z, ys=y,
+            cinv=cinv, Dinv=Dinv, Einv=Einv,
+        )
     return dict(
         status=status,
         iter=it,
