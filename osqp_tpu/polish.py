@@ -171,9 +171,16 @@ def _make_kkt_solver(n: int, m: int, P, MA, delta, dtype, prefer_schur=False):
     #   S sx = r_x + (1/d) (MA)' r_z,   snu = ((MA) sx - r_z) / d
     # with S = P + d I + (1/d)(MA)'(MA) SPD.  Inactive rows still give
     # nu_i = -r_z_i / d = 0 exactly (their r_z is 0 by construction).
-    d_eff = delta if dtype == jnp.float64 else jnp.maximum(
-        jnp.asarray(delta, dtype), jnp.asarray(1e-4, dtype)
-    )
+    #
+    # d is clamped to 1e-4 in BOTH dtypes: at the reference delta (1e-6)
+    # S is ~1e12-conditioned and even the emulated-f64 explicit inverse
+    # cannot solve it (measured on-chip: CVXQP3_S f64 polish rejected at
+    # d = 1e-6 but reaches published-optimum accuracy at d = 1e-4, while
+    # the CPU batched-LU path at delta = 1e-6 accepts — the LU factors
+    # K_delta directly and never forms the squared-conditioned S).  The
+    # refinement loop targets the UNregularized KKT either way, so the
+    # larger d only slows refinement, it does not bias the fixed point.
+    d_eff = jnp.maximum(jnp.asarray(delta, dtype), jnp.asarray(1e-4, dtype))
     AtA = jnp.einsum(
         "bmi,bmj->bij", MA, MA, preferred_element_type=dtype,
         precision="highest",
