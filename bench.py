@@ -173,6 +173,13 @@ def bench_mpc(reps=2):
 def main():
     import jax
 
+    # x64 ON (dtypes below stay explicitly f32): the ill-conditioned
+    # configs (portfolio n=550) route through dense_inv's refined loop
+    # body, whose f64-residual refinement needs x64 to be available —
+    # without it the f32 residual floor stalls ADMM (mean 1190 vs 130
+    # iterations, tools/portfolio_straggler*.py).
+    jax.config.update("jax_enable_x64", True)
+
     from osqp_tpu.batch import solve_batch
     from osqp_tpu.utils.cache import enable_compile_cache
 

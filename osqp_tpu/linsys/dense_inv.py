@@ -171,13 +171,62 @@ def solve(factor, A, rho_vec, rhs_x, rhs_z, x0=None, refine=False):
     x_t = jnp.sum(factor["Minv"] * t[:, :, None], axis=1)
 
     if refine:
-        x = x_t
-        Mx = jnp.sum(factor["P"] * x[:, :, None], axis=1) + factor["sigma"] * x
-        if A.shape[-2]:
-            Ax = jnp.einsum("bmn,bn->bm", A, x, precision="highest")
-            Mx = Mx + jnp.sum(A * (rho_vec * Ax)[:, :, None], axis=1)
-        r = t - Mx
-        x_t = x + jnp.sum(factor["Minv"] * r[:, :, None], axis=1)
+        hi = (
+            jnp.float64
+            if jax.config.jax_enable_x64 and t.dtype == jnp.float32
+            else None
+        )
+        if hi is not None:
+            # Two refinement steps with the residual ACCUMULATED IN F64.
+            # An f32 residual r = t - Mx cannot be computed to better
+            # than ~eps_f32 * ||M|| * ||x||; with ||M|| ~ 1e4 after Ruiz
+            # (equality rows at rho_eq = 1e3 rho) that floor is ~1e-3 —
+            # above default tolerances, so f32-residual refinement
+            # leaves a dual-residual plateau and iteration counts
+            # explode (measured, portfolio n=550 f32: mean 1190 / max
+            # 4000 iterations vs the f64 trajectory's 130/150; one
+            # f64-residual step: 511/3325; two steps: 130/150 — the
+            # exact f64 trajectory at f32 storage).  The f32->f64
+            # upcasts are exact and XLA fuses them into the operand
+            # reads; only the residual GEMVs run in (emulated) f64, the
+            # correction and iterates stay f32.
+            #
+            # GEMV formulation matters enormously for emulated f64: an
+            # f64 einsum lowers to XLA's emulated *dot* and scalarizes
+            # (measured 44 ms at B=256 n=550 on v5e); the elementwise-
+            # multiply + reduce form below keeps the double-double
+            # emulation on the VPU at ~3.4 ms — 2x an f32 GEMV, full
+            # f64 accuracy (1.3e-14 measured max rel err).
+            P64 = factor["P"].astype(hi)
+            A64 = A.astype(hi)
+            rho64 = rho_vec.astype(hi)
+            t64 = t.astype(hi)
+            sig64 = factor["sigma"].astype(hi)
+            x = x_t
+            for _ in range(2):
+                x64 = x.astype(hi)
+                Mx = jnp.sum(P64 * x64[:, :, None], axis=1) + sig64 * x64
+                if A.shape[-2]:
+                    Ax = jnp.sum(A64 * x64[:, None, :], axis=2)
+                    Mx = Mx + jnp.sum(
+                        A64 * (rho64 * Ax)[:, :, None], axis=1
+                    )
+                r = (t64 - Mx).astype(t.dtype)
+                x = x + jnp.sum(factor["Minv"] * r[:, :, None], axis=1)
+            x_t = x
+        else:
+            # No x64 available (or native f64 solve): single f32/f64
+            # matrix-free residual-correction step.
+            x = x_t
+            Mx = (
+                jnp.sum(factor["P"] * x[:, :, None], axis=1)
+                + factor["sigma"] * x
+            )
+            if A.shape[-2]:
+                Ax = jnp.einsum("bmn,bn->bm", A, x, precision="highest")
+                Mx = Mx + jnp.sum(A * (rho_vec * Ax)[:, :, None], axis=1)
+            r = t - Mx
+            x_t = x + jnp.sum(factor["Minv"] * r[:, :, None], axis=1)
         z_t = jnp.einsum("bmn,bn->bm", A, x_t, precision="highest")
         return x_t, z_t
 
