@@ -173,13 +173,6 @@ def bench_mpc(reps=2):
 def main():
     import jax
 
-    # x64 ON (dtypes below stay explicitly f32): the ill-conditioned
-    # configs (portfolio n=550) route through dense_inv's refined loop
-    # body, whose f64-residual refinement needs x64 to be available —
-    # without it the f32 residual floor stalls ADMM (mean 1190 vs 130
-    # iterations, tools/portfolio_straggler*.py).
-    jax.config.update("jax_enable_x64", True)
-
     from osqp_tpu.batch import solve_batch
     from osqp_tpu.utils.cache import enable_compile_cache
 
@@ -256,9 +249,22 @@ def main():
     }
 
     if os.environ.get("BENCH_CONFIGS", "") == "all":
+        # Each extra config runs in its OWN subprocess: a fresh process
+        # gets full HBM (the portfolio leg's device-resident state
+        # otherwise crowds the MPC leg into RESOURCE_EXHAUSTED) and its
+        # own jax config — the portfolio leg enables x64 for the
+        # f64-residual refinement (dense_inv), the others stay on the
+        # classic f32-only configuration.
+        import subprocess
+
         details = {"random_qp_n100_m200": dict(headline, mean_iters=float(iters.mean()))}
-        for name, fn in (("portfolio", bench_portfolio), ("mpc", bench_mpc)):
-            r = fn()
+        for name in ("portfolio", "mpc"):
+            env = dict(os.environ, BENCH_ONLY=name, BENCH_CONFIGS="")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
             details[name] = r
             print("# " + json.dumps(r), file=sys.stderr)
         with open("BENCH_DETAILS.json", "w") as f:
@@ -267,5 +273,27 @@ def main():
     print(json.dumps(headline))
 
 
+def run_single_config():
+    """BENCH_ONLY=portfolio|mpc: run ONE extra config and print its
+    JSON line (subprocess entry for the BENCH_CONFIGS=all orchestration
+    above)."""
+    name = os.environ["BENCH_ONLY"]
+    if name == "portfolio":
+        # x64 so dense_inv's f64-residual refinement is available — the
+        # portfolio class is exactly the regime that needs it (see
+        # docs/performance.md round 5).
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    from osqp_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    fn = {"portfolio": bench_portfolio, "mpc": bench_mpc}[name]
+    print(json.dumps(fn()))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_ONLY"):
+        run_single_config()
+    else:
+        main()

@@ -96,3 +96,77 @@ def test_form_kkt_matches_scipy_bmat():
         jnp.full((1, m), 1.0 / rho),
     )
     np.testing.assert_allclose(np.asarray(K[0]), K_ref, atol=1e-12)
+
+
+def test_refined_solve_f64_residual_accuracy():
+    """The refined dense_inv solve must beat the f32 residual floor.
+
+    With equality rows at rho_eq = 1e3 rho the Schur operator norm
+    reaches ~1e4 after scaling and an f32-computed refinement residual
+    r = t - Mx bottoms out at ~eps_f32 * ||M|| * ||x|| — above default
+    tolerances, which stalled ADMM on the portfolio class (mean 1190 vs
+    the f64 trajectory's 130 iterations, tools/portfolio_straggler*.py).
+    The f64-residual two-step refinement must reach <=1e-9 relative KKT
+    residual on an ill-conditioned batch."""
+    from osqp_tpu.linsys import dense_inv
+
+    rng = Generator(PCG64(7))
+    B, n, m = 4, 60, 50
+    M0 = rng.standard_normal((B, n, n))
+    P = np.einsum("bij,bkj->bik", M0, M0) / n + 1e-4 * np.eye(n)
+    A = rng.standard_normal((B, m, n))
+    sigma = 1e-6
+    # equality-class rho (1e3 * rho) -> stiff Schur complement
+    rho_vec = np.full((B, m), 1e3 * 0.1)
+    Pj = jnp.asarray(P, jnp.float32)
+    Aj = jnp.asarray(A, jnp.float32)
+    rj = jnp.asarray(rho_vec, jnp.float32)
+    factor = dense_inv.init(Pj, Aj, sigma, rj)
+    rhs_x = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    rhs_z = jnp.asarray(rng.standard_normal((B, m)), jnp.float32)
+    x_t, z_t = dense_inv.solve(factor, Aj, rj, rhs_x, rhs_z, refine=True)
+
+    # exact f64 check of M x = rhs_x + A'(rho rhs_z)
+    M64 = P + sigma * np.eye(n) + np.einsum(
+        "bmi,bm,bmj->bij", A, rho_vec, A
+    )
+    t64 = np.asarray(rhs_x, np.float64) + np.einsum(
+        "bmn,bm->bn", A, rho_vec * np.asarray(rhs_z, np.float64)
+    )
+    res = np.einsum("bij,bj->bi", M64, np.asarray(x_t, np.float64)) - t64
+    rel = np.abs(res).max(-1) / np.abs(t64).max(-1)
+    assert rel.max() <= 1e-6, rel
+    # z~ recovery
+    np.testing.assert_allclose(
+        np.asarray(z_t),
+        np.einsum("bmn,bn->bm", A, np.asarray(x_t, np.float64)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_portfolio_class_f32_no_stall():
+    """Regression: an ill-conditioned portfolio-class instance at f32
+    must follow the f64 iteration trajectory (round-5 fix; previously
+    f32 stalled at a dual-residual plateau and hit max_iter)."""
+    from osqp_tpu.batch import solve_batch
+    from osqp_tpu.models import build_portfolio
+
+    n, k, B = 120, 12, 4
+    rng = Generator(PCG64(0))
+    data = [[], [], [], [], []]
+    for _ in range(B):
+        mu = rng.standard_normal(n)
+        F = rng.standard_normal((n, k)) / np.sqrt(k)
+        D = np.abs(rng.standard_normal(n)) * np.sqrt(k)
+        for lst, v in zip(data, build_portfolio(mu, F, D, gamma=1.0)):
+            lst.append(v)
+    stacked = [np.stack(v) for v in data]
+    res32 = solve_batch(*stacked, dtype="float32", eps_abs=1e-3,
+                        eps_rel=1e-3, polish=False, verbose=False)
+    res64 = solve_batch(*stacked, dtype="float64", eps_abs=1e-3,
+                        eps_rel=1e-3, polish=False, verbose=False)
+    it32 = np.asarray(res32.iter)
+    it64 = np.asarray(res64.iter)
+    assert np.all(np.asarray(res32.status_val) == 1), np.asarray(res32.status_val)
+    # f32 must stay within one check interval of the f64 trajectory
+    assert np.all(it32 <= it64 + 25), (it32, it64)
