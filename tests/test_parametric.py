@@ -5,6 +5,7 @@ device-resident API and through B independent single-problem Solvers and
 requires identical trajectories (statuses, solutions, iteration counts)."""
 
 import numpy as np
+import pytest
 
 import osqp_tpu
 from osqp_tpu import constants as con
@@ -80,6 +81,8 @@ def test_parametric_update_P_A():
         assert_allclose(np.asarray(rb.x)[i], ri.x, tol=1e-6)
 
 
+@pytest.mark.nanok  # the equality-flip leg can turn an instance
+# primal-infeasible -> NaN-filled store_solution (by design)
 def test_fused_resolve_matches_update_then_solve():
     """resolve(q, l, u) (one fused device program, parametric._resolve_jit)
     must be bit-identical to update_lin_cost + update_bounds + solve()."""
