@@ -252,10 +252,34 @@ def run_maros(
         # Failures are re-bucketed and re-solved as batches (one device
         # program per shape bucket) rather than one-by-one — fallback
         # wall-clock scales with bucket count, not failure count.
+        # Polish failure also escalates: an f32-state solve CANNOT follow
+        # the f64 trajectory on stiff equality-heavy problems (CVXQP
+        # class) — measured: even the best-possible f32-returned KKT
+        # solve (exact solution rounded to f32) floors the dual residual
+        # ~8x above the f64 trajectory, because rho_eq = 1e3 rho
+        # amplifies the x~ representation rounding through the dual
+        # ascent (tools bisect, docs/performance.md round 5).  The
+        # reference polishes every solve (polish.c:212); where the f64
+        # path demonstrably polishes and f32 cannot, rerunning at f64
+        # is the correct accuracy/speed split, and the re-solve is
+        # batched per shape bucket like the status fallback below.
+        def _escalate(r):
+            if r["status_val"] not in _final_statuses:
+                return True
+            # Dense-path polish failures only: sparse rows already ran
+            # at f64 (see _solve_one_sparse), so a retry would repeat
+            # the identical solve.
+            return (
+                bool(settings.get("polish", True))
+                and not r.get("sparse")
+                and r["status_val"] == con.OSQP_SOLVED
+                and r.get("status_polish") == -1
+            )
+
         retry = [
             (i, qp)
             for i, (r, qp) in enumerate(zip(rows, problems))
-            if r["status_val"] not in _final_statuses
+            if _escalate(r)
         ]
         # Large problems retry through the sparse path too (densifying
         # them in the fallback would defeat the routing).
