@@ -316,6 +316,42 @@ def run_maros(
                     y=rr.y,
                 )
 
+    if polish:
+        # Host-exact polish rescue for dense rows whose DEVICE polish
+        # failed: the device uses the masked fixed-shape KKT with a
+        # clamped regularization (polish.py, d >= 1e-4 on the Schur
+        # path), which is platform-marginal on CVXQP-class problems;
+        # polish_host is the reference's true dynamic-shape reduced KKT
+        # at delta = 1e-6 (polish.c:212-350) and polishes them
+        # deterministically.  Sparse (B=1) rows already polish on the
+        # host (large.py); this closes the same gap for the dense path.
+        # Polish is setup-class work — one splu per rescued problem.
+        from .polish_host import polish_host
+
+        by_name = {qp.name: qp for qp in problems}
+        for r in rows:
+            if (
+                r["status_val"] == con.OSQP_SOLVED
+                and r.get("status_polish") == -1
+                and not r.get("sparse")
+                and r.get("x") is not None
+            ):
+                qp = by_name[r["name"]]
+                ok, x_p, y_p, obj, pri, dua = polish_host(
+                    qp.P, qp.A, qp.q, qp.l, qp.u, r["x"], r["y"],
+                    float(r["pri_res"]), float(r["dua_res"]),
+                )
+                if ok:
+                    r.update(
+                        status_polish=1,
+                        host_polish=True,
+                        obj=obj + qp.obj_constant,
+                        pri_res=pri,
+                        dua_res=dua,
+                        x=x_p,
+                        y=y_p,
+                    )
+
     if not keep_solutions:
         for r in rows:
             r.pop("x", None)
