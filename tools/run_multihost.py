@@ -13,7 +13,7 @@ coordinator role), then in every process:
    (``run_maros(shard=(rank, world))``) and aggregates the per-host
    summaries with ``allreduce_summary`` — the framework's only
    cross-host collective;
-3. process 0 writes ``MULTIHOST_r04.json``.
+3. process 0 writes ``MULTIHOST_r05.json``.
 
 Usage:
     python tools/run_multihost.py            # parent: spawns 2 workers
@@ -35,7 +35,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ART = os.path.join(REPO, "MULTIHOST_r04.json")
+ART = os.path.join(REPO, "MULTIHOST_r05.json")
 
 
 def child(rank: int, world: int, port: int, devs_per_proc: int, batch: int):
