@@ -11,7 +11,8 @@ vs_baseline is measured against the driver target of 10,000 QPs/s/chip
 
 BENCH_CONFIGS=all additionally runs BASELINE.json configs 3 (portfolio
 n=500 with warm-started parametric updates) and 4 (MPC scenario batch,
-1000 instances, horizon 30, block_tridiag backend), prints their JSON
+1000 instances, horizon 30, block_tridiag backend) plus a measured
+HBM-roofline leg (the memory-bound analogue of MFU), prints their JSON
 lines to stderr, and records everything in BENCH_DETAILS.json.
 """
 
@@ -102,6 +103,53 @@ def bench_portfolio(reps=3):
         "vs_baseline": round(qps / BASELINE_QPS_PER_SEC, 4),
         "iters_per_sec": round(total_iters / dt, 1),
         "solved": solved,
+    }
+
+
+def bench_roofline():
+    """Measured HBM-roofline fraction of the hot ADMM loop ("what's the
+    MFU?" for a memory-bound solver).  Two fixed-iteration runs
+    (termination checks off) isolate the per-iteration slope exactly as
+    tools/profile_iter.py; the traffic model is docs/performance.md's:
+    each iteration streams Minv + (Minv A')' + A per instance, padded to
+    XLA's (8, 128) f32 tiles -> 262144 B/instance/iteration at
+    n=100/m=200.  The sustained-bandwidth denominator is the ~650 GB/s
+    the same doc measures for pure streaming on this v5e."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (device_put path)
+
+    from osqp_tpu.batch import solve_batch
+
+    B, n, m = 8192, 100, 200
+    data = [jax.device_put(jnp.asarray(v)) for v in make_qps(B, n, m)]
+    kw = dict(dtype="float32", verbose=False, polish=False,
+              check_termination=0, adaptive_rho=False)
+    times = {}
+    for it in (16, 64):
+        _force(solve_batch(*data, max_iter=it, **kw))  # compile
+        best = float("inf")
+        for _ in range(5):  # min-of-N: right estimator for a bandwidth bound
+            t0 = time.perf_counter()
+            _force(solve_batch(*data, max_iter=it, **kw))
+            best = min(best, time.perf_counter() - t0)
+        times[it] = best
+    slope = (times[64] - times[16]) / 48.0
+    # Physical (tile-padded) reads per instance per iteration:
+    #   Minv 104x128 + AMinvT 104x256 + A 200x128 f32 words
+    bytes_per_iter = (104 * 128 + 104 * 256 + 200 * 128) * 4 * B
+    gbps = bytes_per_iter / slope / 1e9
+    peak = 819.0  # v5e HBM peak bandwidth (GB/s, public spec)
+    return {
+        "metric": "admm_loop_hbm_roofline",
+        "value": round(gbps / peak, 3),
+        "unit": "fraction of 819 GB/s v5e peak HBM bandwidth",
+        "ms_per_iter": round(slope * 1e3, 3),
+        "gb_per_s": round(gbps, 1),
+        "model": "262144 B/instance/iter (tile-padded Minv+AMinvT+A), B=8192 n=100 m=200",
+        "note": "model-implied GB/s above the ~650 measured pure-stream "
+                "rate means the tile-padding model overstates physical "
+                "traffic (see the rejected batch-minor experiment, "
+                "docs/performance.md)",
     }
 
 
@@ -258,7 +306,7 @@ def main():
         import subprocess
 
         details = {"random_qp_n100_m200": dict(headline, mean_iters=float(iters.mean()))}
-        for name in ("portfolio", "mpc"):
+        for name in ("portfolio", "mpc", "roofline"):
             env = dict(os.environ, BENCH_ONLY=name, BENCH_CONFIGS="")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -288,7 +336,8 @@ def run_single_config():
     from osqp_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    fn = {"portfolio": bench_portfolio, "mpc": bench_mpc}[name]
+    fn = {"portfolio": bench_portfolio, "mpc": bench_mpc,
+          "roofline": bench_roofline}[name]
     print(json.dumps(fn()))
 
 
