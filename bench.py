@@ -322,7 +322,7 @@ def main():
 
 
 def run_single_config():
-    """BENCH_ONLY=portfolio|mpc: run ONE extra config and print its
+    """BENCH_ONLY=portfolio|mpc|roofline: run ONE extra config and print its
     JSON line (subprocess entry for the BENCH_CONFIGS=all orchestration
     above)."""
     name = os.environ["BENCH_ONLY"]

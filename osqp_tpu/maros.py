@@ -62,6 +62,33 @@ SPARSE_MIN_N = 2048
 SPARSE_DENSITY = 5e-3
 
 
+# Strict terminal statuses: a definitive answer at full accuracy.
+_STRICT_FINAL = (
+    con.OSQP_SOLVED,
+    con.OSQP_PRIMAL_INFEASIBLE,
+    con.OSQP_DUAL_INFEASIBLE,
+)
+
+
+def _row_rank(status_val, status_polish):
+    """Orders outcomes so a fallback retry can never DEMOTE a row:
+    strict statuses and certificates above inaccurate, above non-final;
+    polish success breaks ties.  On equal rank the retry wins — the f64
+    trajectory is the one that matches the reference oracle's iteration
+    counts (PARITY.md)."""
+    if status_val in _STRICT_FINAL:
+        s = 2
+    elif status_val in (
+        con.OSQP_SOLVED_INACCURATE,
+        con.OSQP_PRIMAL_INFEASIBLE_INACCURATE,
+        con.OSQP_DUAL_INFEASIBLE_INACCURATE,
+    ):
+        s = 1
+    else:
+        s = 0
+    return (s, 1 if status_polish == 1 else 0)
+
+
 def _route_sparse(qp) -> bool:
     if max(qp.n, qp.m) > SPARSE_N_CUTOFF:
         return True
@@ -240,11 +267,7 @@ def run_maros(
     # Retry anything short of a STRICT status — the inaccurate variants
     # miss the eps criterion by definition, so the f64 fallback should
     # take a crack at them too.
-    _final_statuses = (
-        con.OSQP_SOLVED,
-        con.OSQP_PRIMAL_INFEASIBLE,
-        con.OSQP_DUAL_INFEASIBLE,
-    )
+    _final_statuses = _STRICT_FINAL
     if fallback_dtype is not None:
         fb_settings = dict(settings)
         fb_settings["dtype"] = fallback_dtype
@@ -263,6 +286,21 @@ def run_maros(
         # path demonstrably polishes and f32 cannot, rerunning at f64
         # is the correct accuracy/speed split, and the re-solve is
         # batched per shape bucket like the status fallback below.
+        # Effective primary dtype: an explicit ``dtype`` argument, else
+        # the Settings default (f64 under x64).  Polish-failure
+        # escalation is pointless when the primary solve already ran in
+        # the fallback dtype — the retry would repeat the identical
+        # solve (the sparse branch has the same guard by construction).
+        if dtype is not None:
+            _primary = str(dtype)
+        else:
+            import jax
+
+            _primary = (
+                "float64" if jax.config.jax_enable_x64 else "float32"
+            )
+        _polish_escalates = str(fallback_dtype) != _primary
+
         def _escalate(r):
             if r["status_val"] not in _final_statuses:
                 return True
@@ -270,7 +308,8 @@ def run_maros(
             # at f64 (see _solve_one_sparse), so a retry would repeat
             # the identical solve.
             return (
-                bool(settings.get("polish", True))
+                _polish_escalates
+                and bool(settings.get("polish", True))
                 and not r.get("sparse")
                 and r["status_val"] == con.OSQP_SOLVED
                 and r.get("status_polish") == -1
@@ -292,6 +331,12 @@ def run_maros(
                 for i, qp in retry_sp:
                     row = _solve_one_sparse(qp, fb_settings)
                     row["fallback"] = True
+                    if _row_rank(
+                        row["status_val"], row.get("status_polish")
+                    ) < _row_rank(
+                        rows[i]["status_val"], rows[i].get("status_polish")
+                    ):
+                        continue  # retry came back worse — keep original
                     rows[i] = row
         if retry:
             from .buckets import fallback_context
@@ -303,6 +348,12 @@ def run_maros(
                     **fb_settings,
                 )
             for (i, qp), rr in zip(retry, fb_results):
+                if _row_rank(rr.status_val, rr.status_polish) < _row_rank(
+                    rows[i]["status_val"], rows[i].get("status_polish")
+                ):
+                    # The f64 retry came back WORSE (e.g. max_iter on a
+                    # different trajectory) — keep the original row.
+                    continue
                 rows[i].update(
                     status=con.STATUS_MESSAGE.get(rr.status_val, "?"),
                     status_val=rr.status_val,
@@ -326,17 +377,24 @@ def run_maros(
         # deterministically.  Sparse (B=1) rows already polish on the
         # host (large.py); this closes the same gap for the dense path.
         # Polish is setup-class work — one splu per rescued problem.
+        # The rescue deliberately runs AFTER the f64 escalation, not
+        # instead of it: the f64 re-solve is what restores the
+        # reference-oracle iteration trajectory on the CVXQP class
+        # (f32 CVXQP1_S runs 9.9x the oracle's count, f64 matches it
+        # exactly — PARITY.md), so the retry is paid for parity even
+        # when the host polish alone would fix the accuracy.
         from .polish_host import polish_host
 
-        by_name = {qp.name: qp for qp in problems}
-        for r in rows:
+        # rows is in problems order on every path (the batched solver
+        # and _solve_one_sparse both preserve input order) — pair by
+        # position, not by QPS NAME, which need not be unique.
+        for r, qp in zip(rows, problems):
             if (
                 r["status_val"] == con.OSQP_SOLVED
                 and r.get("status_polish") == -1
                 and not r.get("sparse")
                 and r.get("x") is not None
             ):
-                qp = by_name[r["name"]]
                 ok, x_p, y_p, obj, pri, dua = polish_host(
                     qp.P, qp.A, qp.q, qp.l, qp.u, r["x"], r["y"],
                     float(r["pri_res"]), float(r["dua_res"]),

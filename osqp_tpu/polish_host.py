@@ -54,7 +54,7 @@ def _ruiz(P, A, q, n_iter=10):
     for _ in range(n_iter):
         Pa = np.abs(Pw)
         Aa = np.abs(Aw)
-        dP = np.asarray(Pa.max(axis=0).todense()).ravel() if m or True else 0
+        dP = np.asarray(Pa.max(axis=0).todense()).ravel()
         dA = (np.asarray(Aa.max(axis=0).todense()).ravel()
               if Aw.shape[0] else np.zeros(n))
         d = np.maximum(dP, dA)

@@ -294,3 +294,24 @@ def test_large_qps_routes_sparse():
     idx = json.load(open(os.path.join(DATA_DIR, "generated", "INDEX.json")))
     exp = idx["BANDED_10000"]["obj"]
     assert abs(r["obj"] - exp) <= 1e-3 * max(1.0, abs(exp))
+
+
+def test_row_rank_demotion_guard():
+    """The f64-fallback retry may never DEMOTE a harness row
+    (round-5 review): strict/certified outcomes outrank inaccurate
+    ones, polish success breaks ties, and equal rank lets the retry
+    (the oracle-trajectory f64 run) win via strict-less-than."""
+    from osqp_tpu.maros import _row_rank
+
+    solved_pol = _row_rank(con.OSQP_SOLVED, 1)
+    solved = _row_rank(con.OSQP_SOLVED, -1)
+    inacc_pol = _row_rank(con.OSQP_SOLVED_INACCURATE, 1)
+    inacc = _row_rank(con.OSQP_SOLVED_INACCURATE, -1)
+    maxiter = _row_rank(con.OSQP_MAX_ITER_REACHED, -1)
+    cert = _row_rank(con.OSQP_PRIMAL_INFEASIBLE, -1)
+
+    assert solved_pol > solved > inacc_pol > inacc > maxiter
+    # a certificate is as final as a solve
+    assert cert == solved
+    # equal rank: retry wins (guard uses strict <)
+    assert not (_row_rank(con.OSQP_SOLVED, -1) < solved)

@@ -81,7 +81,6 @@ def run(f32_data, f32_solve, f32_xz, f32_y, f32_dy, iters=100):
         x, z = x_new, z_new
     dua_vec = qd + Pd @ x + Ad.T @ y
     dua = cinv*np.abs(Dinv*dua_vec).max()
-    pri = np.abs((1.0/np.asarray(scl.E[0] if hasattr(scl,'E') else 1.0))).max() if False else None
     return dua
 
 base = run(0,0,0,0,0)
