@@ -80,3 +80,36 @@ def test_polish_passes_validation():
     P, q, A, l, u = _banded(8)
     with pytest.raises(con.OSQPError, match="polish_passes"):
         osqp_tpu.Solver(P, q, A, l, u, polish_passes=0)
+
+
+def test_polish_host_scaled_space_on_badly_scaled_problem():
+    """Round-5 regression: polish_host runs the reference pipeline on
+    the RUIZ-SCALED problem.  On raw badly-scaled data, delta = 1e-6 is
+    a vanishing relative perturbation of huge operators and the reduced
+    KKT turns numerically singular (measured: every active-set guess
+    failed at pri ~ 9.9 on CVXQP1_M before the fix).  This reproducer
+    scales a well-behaved banded QP by 1e8 on P/q and mixed 1e4 row
+    factors on A/l/u — polish must still accept and land at
+    machine-level residuals."""
+    n = 200
+    P, q, A, l, u = _banded(n, seed=3)
+    rng = np.random.default_rng(7)
+    rowscale = 10.0 ** rng.uniform(0, 4, n)
+    E = sp.diags(rowscale)
+    P2 = (1e8 * P).tocsc()
+    q2 = 1e8 * q
+    A2 = (E @ A).tocsc()
+    l2, u2 = rowscale * l, rowscale * u
+
+    s = osqp_tpu.Solver(
+        P=P2, q=q2, A=A2, l=l2, u=u2, verbose=False, polish=False,
+        eps_abs=1e-5, eps_rel=1e-5,
+    )
+    r = s.solve()
+    assert r.info.status_val == con.OSQP_SOLVED
+    ok, x_p, y_p, obj, pri, dua = polish_host(
+        P2, A2, q2, l2, u2, np.asarray(r.x), np.asarray(r.y),
+        float(r.info.pri_res), float(r.info.dua_res),
+    )
+    assert ok, "scaled-space host polish must accept on scaled data"
+    assert pri <= r.info.pri_res and dua <= r.info.dua_res
